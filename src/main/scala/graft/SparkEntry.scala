@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the operator surface from each module (SURVEY.md §2 Part B):
+  *  - [[operators.ChunkCatalog]]  B5-B9   (reference catalog ops)
+  *  - [[operators.Relational]]    B10-B30 (projection/filter/join/agg/window/sort/set)
+  *  - [[operators.ScalarFns]]     B31-B37 (string/datetime/math/cond/array/map/json)
+  *  - [[operators.Windows]]       B38-B40 (tumbling/sliding/session — batch forms)
+  *  - [[operators.TextOps]]       B43-B46 (dedup exact/minhash/simhash, jaccard, text analysis)
+  *  - [[operators.VectorOps]]     B45     (cosine top-k, IVF ANN, embedding near-dup)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape — scan + partial/final hash agg (SURVEY.md B20). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggBasic(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ChunkCatalog.queries ++ Relational.queries ++ ScalarFns.queries ++
+      Windows.queries ++ TextOps.queries ++ VectorOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    ChunkCatalog.oracles ++ Relational.oracles ++ ScalarFns.oracles ++
+      Windows.oracles ++ TextOps.oracles ++ VectorOps.oracles
 }

@@ -1,0 +1,494 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2 Part B rows B10-B30).
+  *
+  * The reference's only relational shapes are projection (`list_chunks`,
+  * /root/reference/src/data_manager.rs:83-91), range predicates
+  * (`find_chunk`, :93-121) and the value-match cleanup in `delete_chunk_id`
+  * (/root/reference/src/rocksdb_storage_engine.rs:94-99) — a degenerate
+  * join. Everything else here is the north-star batch surface mapped to
+  * Spark built-ins so Catalyst owns the physical strategy.
+  *
+  * Float discipline (SURVEY.md §7.3): every money aggregate runs in
+  * DECIMAL(18,2) (exact) and is CAST to DOUBLE only at the end, so the
+  * DuckDB oracle hashes bit-identically. Every query ends in a total
+  * orderBy with a unique tiebreaker.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- B10
+  /** Projection: select / computed column / drop, pushed to the parquet
+    * scan (ReadSchema pruning — only 5 of 11 lineitem columns read). */
+  def projBasic(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("disc_price"))
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — order by
+      // every output column for a total, engine-independent row order
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "disc_price")
+
+  // ---------------------------------------------------------------- B11
+  /** Predicates: =, BETWEEN, IN, LIKE, OR/AND/NOT, date compare. */
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        (col("l_returnflag") === "R" &&
+          col("l_quantity").between(10, 20) &&
+          col("l_shipdate") >= lit("1999-01-01").cast("timestamp")) ||
+        (col("l_linestatus").isin("F") &&
+          col("l_quantity") < 3 &&
+          !(col("l_returnflag") === "A")))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
+
+  // ---------------------------------------------------------------- B12
+  /** Equi inner join lineitem ⋈ orders (both large → Spark picks
+    * sort-merge/shuffle-hash; at 100 TB both sides partition on the key). */
+  def joinInner(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
+  // ---------------------------------------------------------------- B13
+  /** Broadcast join with a small dim table (part): the dim ships to every
+    * executor, no shuffle of the fact side — the 100 TB-critical pattern. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("p_brand")
+
+  // ---------------------------------------------------------------- B14
+  /** Left outer join: every customer, with order count 0 when no orders. */
+  def joinOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec2(col("o_totalprice"))).cast("double"), lit(0.0)).as("total"))
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- B15a
+  /** Left semi join: orders having at least one heavy lineitem (EXISTS). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(
+        Tables.lineitem(s, d).filter(col("l_quantity") > 45).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- B15b
+  /** Left anti join: customers with no orders (NOT EXISTS) — same shape as
+    * the reference's dedup-on-ingest gate (SURVEY.md Part A row A4). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  // ---------------------------------------------------------------- B16
+  /** Theta join: equi on nation + non-equi on acctbal, aggregated. */
+  def joinTheta(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).as("s")
+      .join(Tables.customer(s, d).as("c"),
+        col("s.s_nationkey") === col("c.c_nationkey") &&
+          col("s.s_acctbal") > col("c.c_acctbal"))
+      .groupBy(col("s.s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nationkey")
+
+  // ---------------------------------------------------------------- B17
+  /** Range/interval-containment join: order keys (points) vs chunk-catalog
+    * block ranges (intervals) — the reference's find path (A7/A12) as a
+    * join. The interval side is tiny → broadcast; at 100 TB bucket both
+    * sides by range start instead. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+      .select(col("o_orderstatus").as("dataset_id"), col("o_orderkey").as("pt"))
+    val ivs = ChunkCatalog.catalog(s, d)
+      .select("dataset_id", "chunk_id", "block_start", "block_end")
+    pts.join(broadcast(ivs), Seq("dataset_id"))
+      .filter(col("block_start") <= col("pt") && col("pt") < col("block_end"))
+      .groupBy("dataset_id", "chunk_id")
+      .agg(count(lit(1)).as("n_pts"), min("pt").as("min_pt"), max("pt").as("max_pt"))
+      .orderBy("dataset_id", "chunk_id")
+  }
+
+  // ---------------------------------------------------------------- B18
+  /** As-of join: for each purchase event, the most recent signup ts of the
+    * same user at-or-before it. Implemented as a union + running
+    * last-non-null window — one shuffle on user_id, no point-lookup loop. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "signup"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- B19
+  /** Cross join (tiny dims only — guarded by size at scale). */
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  // ---------------------------------------------------------------- B20
+  /** Hash aggregation, TPC-H Q1 shape: partial (map-side) + final agg via
+    * HashAggregateExec; exact decimal arithmetic throughout. */
+  def aggBasic(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- B21
+  /** Distinct aggregates (expand + two-phase agg under the hood). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        sum_distinct(dec2(col("l_quantity"))).cast("double").as("sum_d_qty"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- B22a
+  /** Rollup with grouping indicators (NULL keys coalesced to 'ALL' so
+    * NULLS-ordering differences between engines cannot bite). */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
+      .orderBy("rf", "ls", "g_rf", "g_ls")
+
+  // ---------------------------------------------------------------- B22b
+  /** Cube over orders dims. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("total"))
+      .orderBy("st", "pri")
+
+  // ---------------------------------------------------------------- B23
+  /** Approximate distinct (HLL++) — mergeable across partitions, the
+    * 100 TB answer to COUNT(DISTINCT). No oracle (approximate); scalatest
+    * bounds it against the exact count. */
+  def aggApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- B24
+  /** Collect/argmax aggregates, made deterministic: sorted-joined distinct
+    * set; max_by over a unique ordering value. */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        max_by(col("l_partkey"),
+          (col("l_orderkey") * 8 + col("l_linenumber")) * 10000000L + col("l_partkey")).as("last_part"),
+        min(struct(col("l_orderkey"), col("l_linenumber"))).getField("l_orderkey").as("first_okey"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- B25
+  /** Ranking window functions over a total per-partition order. */
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    // tiebreak down to (partkey, suppkey): (orderkey, linenumber) alone is
+    // not unique in the testdata, and an ambiguous row_number order would
+    // pair rows with drk values computed from a different window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_partkey"), col("l_suppkey"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(
+        Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc)))
+      .withColumn("drk", dense_rank().over(
+        Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)))
+      .withColumn("qt", ntile(4).over(w))
+      .filter(col("rn") <= 20)
+      .select("l_returnflag", "rn", "rk", "drk", "qt", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "rn")
+  }
+
+  // ---------------------------------------------------------------- B26
+  /** Analytic window functions: lag/lead per customer order history. */
+  def winAnalytic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .withColumn("prev_price", lag(dec2(col("o_totalprice")), 1).over(w).cast("double"))
+      .withColumn("next_price", lead(dec2(col("o_totalprice")), 1).over(w).cast("double"))
+      .withColumn("first_date", first(col("o_orderdate")).over(w))
+      .select("o_custkey", "o_orderkey", "prev_price", "next_price", "first_date")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- B27
+  /** Window frames: running total + 4-row moving sum, exact decimals. */
+  def winFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") < 10)
+      .withColumn("running_qty",
+        sum(dec2(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("moving_qty",
+        sum(dec2(col("l_quantity"))).over(w.rowsBetween(-3, Window.currentRow)).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty", "moving_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+  }
+
+  // ---------------------------------------------------------------- B28
+  /** Global sort (range-partitioned SortExec at scale). */
+  def sortGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+
+  // ---------------------------------------------------------------- B29
+  /** Top-k: planned as TakeOrderedAndProject — no global sort of the full
+    * table, each partition keeps k then the driver merges. */
+  def topk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  // ---------------------------------------------------------------- B30
+  /** Set operations: intersect / except / union over derived key sets. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O").select("o_custkey")
+    val p = Tables.orders(s, d).filter(col("o_orderstatus") === "P").select("o_custkey")
+    val inter = f.intersect(o).withColumn("op", lit("inter"))
+    val exc = f.except(p).withColumn("op", lit("except"))
+    val uni = f.union(o).distinct().withColumn("op", lit("union"))
+    inter.unionByName(exc).unionByName(uni)
+      .select("op", "o_custkey")
+      .orderBy("op", "o_custkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "proj_basic"     -> (projBasic(_, _)),
+    "filter_pred"    -> (filterPred(_, _)),
+    "join_inner"     -> (joinInner(_, _)),
+    "join_broadcast" -> (joinBroadcast(_, _)),
+    "join_outer"     -> (joinOuter(_, _)),
+    "join_semi"      -> (joinSemi(_, _)),
+    "join_anti"      -> (joinAnti(_, _)),
+    "join_theta"     -> (joinTheta(_, _)),
+    "join_range"     -> (joinRange(_, _)),
+    "join_asof"      -> (joinAsof(_, _)),
+    "join_cross"     -> (joinCross(_, _)),
+    "agg_basic"      -> (aggBasic(_, _)),
+    "agg_distinct"   -> (aggDistinct(_, _)),
+    "agg_rollup"     -> (aggRollup(_, _)),
+    "agg_cube"       -> (aggCube(_, _)),
+    "agg_approx"     -> (aggApprox(_, _)),
+    "agg_collect"    -> (aggCollect(_, _)),
+    "win_rank"       -> (winRank(_, _)),
+    "win_analytic"   -> (winAnalytic(_, _)),
+    "win_frame"      -> (winFrame(_, _)),
+    "sort_global"    -> (sortGlobal(_, _)),
+    "topk"           -> (topk(_, _)),
+    "set_ops"        -> (setOps(_, _))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "proj_basic" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, disc_price""".stripMargin,
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+        |FROM lineitem
+        |WHERE (l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+        |       AND l_shipdate >= TIMESTAMP '1999-01-01')
+        |   OR (l_linestatus IN ('F') AND l_quantity < 3 AND NOT (l_returnflag = 'A'))
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_broadcast" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta" ->
+      """SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_range" ->
+      s"""${ChunkCatalog.catalogSql}
+         |SELECT p.dataset_id, c.chunk_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+         |       MIN(p.pt) AS min_pt, MAX(p.pt) AS max_pt
+         |FROM (SELECT o_orderstatus AS dataset_id, o_orderkey AS pt
+         |      FROM orders WHERE o_orderkey < 1000) p
+         |JOIN catalog c ON p.dataset_id = c.dataset_id
+         |  AND c.block_start <= p.pt AND p.pt < c.block_end
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, ts, signup_ts FROM (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+        |  FROM events WHERE event_type IN ('purchase', 'signup')
+        |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_d_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, g_rf, g_ls""".stripMargin,
+    "agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_returnflag,
+        |  (SELECT string_agg(ls, ',' ORDER BY ls) FROM
+        |    (SELECT DISTINCT l_linestatus AS ls FROM lineitem li2
+        |     WHERE li2.l_returnflag = li.l_returnflag)) AS statuses,
+        |  arg_max(l_partkey, (l_orderkey * 8 + l_linenumber) * 10000000 + l_partkey) AS last_part,
+        |  min(l_orderkey) AS first_okey
+        |FROM lineitem li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "win_rank" ->
+      """SELECT l_returnflag, rn, rk, drk, qt, l_orderkey, l_linenumber FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    row_number() OVER w AS rn,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rk,
+        |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drk,
+        |    ntile(4) OVER w AS qt
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey)
+        |) WHERE rn <= 20 ORDER BY l_returnflag, rn""".stripMargin,
+    "win_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+        |  CAST(lead(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS next_price,
+        |  first_value(o_orderdate) OVER w AS first_date
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+        |       ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+        |       ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
+        |FROM lineitem WHERE l_suppkey < 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+    "sort_global" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_orderdate DESC, o_orderkey ASC""".stripMargin,
+    "topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "set_ops" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     p AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |SELECT 'inter' AS op, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT 'except' AS op, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM p)
+        |UNION ALL
+        |SELECT 'union' AS op, o_custkey FROM (SELECT DISTINCT o_custkey FROM (SELECT o_custkey FROM f UNION ALL SELECT o_custkey FROM o))
+        |ORDER BY op, o_custkey""".stripMargin
+  )
+}

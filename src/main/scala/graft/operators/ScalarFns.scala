@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function families (SURVEY.md §2 Part B rows B31-B37).
+  *
+  * All codegen'd `org.apache.spark.sql.functions` built-ins — no UDFs in
+  * the hot path (whole-stage codegen keeps these inside one generated
+  * loop over the columnar scan). The only reference-derived member is
+  * hex display of binary ids (/root/reference/src/bin/main.rs:74-77).
+  *
+  * Determinism: transcendental outputs are rounded (libm last-ulp
+  * differences between JVM and DuckDB); everything else is exact integer /
+  * decimal / IEEE-deterministic (sqrt, division) arithmetic.
+  */
+object ScalarFns {
+
+  // ---------------------------------------------------------------- B31
+  def fnString(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        lower(col("o_orderpriority")).as("lo"),
+        upper(col("o_orderstatus")).as("up"),
+        trim(lit("  pad  ")).as("trimmed"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("cat"),
+        length(col("o_orderpriority")).as("len"),
+        regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("pri_num"),
+        regexp_replace(col("o_orderpriority"), "[AEIOU]", "_").as("devowel"),
+        lpad(col("o_orderkey").cast("string"), 8, "0").as("okey_pad"),
+        col("o_orderpriority").like("%URGENT%").as("is_urgent"),
+        hex(col("o_orderkey")).as("okey_hex"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- B32
+  def fnDatetime(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr"),
+        to_date(col("o_orderdate")).as("odate"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("days_since"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_add(to_date(col("o_orderdate")), 30).as("due"),
+        last_day(col("o_orderdate")).as("eom"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- B33
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice"), 1).as("rounded"),
+        abs(col("o_totalprice") * -1).as("absval"),
+        ceil(col("o_totalprice")).as("ceiled"),
+        floor(col("o_totalprice")).as("floored"),
+        pow(lit(2.0), col("o_orderkey") % 10).as("pow2"),
+        round(log(col("o_totalprice") + 1), 4).as("ln_p"),
+        sqrt(col("o_orderkey").cast("double")).as("sq"),
+        pmod(col("o_orderkey"), lit(7)).as("mod7"),
+        (col("o_orderkey") % 7).as("rem7"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------- B34
+  def fnCond(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 35, "mid")
+          .otherwise("high").as("qty_band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf_or_none"),
+        nvl(nullif(col("l_linestatus"), lit("F")), lit("closed")).as("ls_nvl"),
+        (col("l_quantity") > 25 && col("l_returnflag") === "R").as("heavy_return"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- B35
+  /** Array + higher-order functions over tokenized text: transform /
+    * filter / aggregate run inside codegen, no UDF. */
+  def fnArray(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        array_contains(split(col("text"), " "), "spark").as("has_spark"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+        element_at(array_sort(array_distinct(split(col("text"), " "))), 1).as("first_word"),
+        aggregate(
+          transform(split(col("text"), " "), w => length(w)),
+          lit(0), (acc, x) => acc + x).as("sum_word_len"),
+        size(filter(split(col("text"), " "), w => length(w) > 4)).as("n_long"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- B36
+  /** Map columns (the reference's `files: HashMap<String,String>`,
+    * /root/reference/src/lib.rs:24-27): build, inspect, explode back. */
+  def fnMap(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey"),
+        map(
+          lit("status"), col("o_orderstatus"),
+          lit("priority"), col("o_orderpriority")).as("m"))
+      .select(col("o_orderkey"), explode(col("m")).as(Seq("k", "v")))
+      .orderBy("o_orderkey", "k")
+
+  // ---------------------------------------------------------------- B37
+  /** JSON extraction over `events.props` (a JSON string column). */
+  def fnJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_struct"),
+        to_json(struct(col("event_type").as("t"))).as("rejson"))
+      .orderBy("event_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string"   -> (fnString(_, _)),
+    "fn_datetime" -> (fnDatetime(_, _)),
+    "fn_math"     -> (fnMath(_, _)),
+    "fn_cond"     -> (fnCond(_, _)),
+    "fn_array"    -> (fnArray(_, _)),
+    "fn_map"      -> (fnMap(_, _)),
+    "fn_json"     -> (fnJson(_, _))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT o_orderkey,
+        |  lower(o_orderpriority) AS lo, upper(o_orderstatus) AS up,
+        |  trim('  pad  ') AS trimmed,
+        |  substring(o_orderpriority, 1, 1) AS pri_code,
+        |  o_orderstatus || '|' || o_orderpriority AS cat,
+        |  CAST(length(o_orderpriority) AS INT) AS len,
+        |  regexp_extract(o_orderpriority, '(\d+)', 1) AS pri_num,
+        |  regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS devowel,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS okey_pad,
+        |  o_orderpriority LIKE '%URGENT%' AS is_urgent,
+        |  hex(o_orderkey) AS okey_hex
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(o_orderdate AS DATE) + 30 AS due,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice, 1) AS rounded,
+        |  abs(o_totalprice * -1) AS absval,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floored,
+        |  pow(2.0, o_orderkey % 10) AS pow2,
+        |  round(ln(o_totalprice + 1), 4) AS ln_p,
+        |  sqrt(CAST(o_orderkey AS DOUBLE)) AS sq,
+        |  o_orderkey % 7 AS mod7,
+        |  o_orderkey % 7 AS rem7
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "fn_cond" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 35 THEN 'mid' ELSE 'high' END AS qty_band,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf_or_none,
+        |  COALESCE(NULLIF(l_linestatus, 'F'), 'closed') AS ls_nvl,
+        |  (l_quantity > 25 AND l_returnflag = 'R') AS heavy_return
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  list_sort(list_distinct(string_split(text, ' ')))[1] AS first_word,
+        |  CAST(length(replace(text, ' ', '')) AS INT) AS sum_word_len,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS INT) AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_map" ->
+      """SELECT o_orderkey, k, v FROM (
+        |  SELECT o_orderkey, 'status' AS k, o_orderstatus AS v FROM orders WHERE o_orderkey < 300
+        |  UNION ALL
+        |  SELECT o_orderkey, 'priority' AS k, o_orderpriority AS v FROM orders WHERE o_orderkey < 300
+        |) ORDER BY o_orderkey, k""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_val,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_struct,
+        |  '{"t":"' || event_type || '"}' AS rejson
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** LLM-training-pipeline text operators over `documents` (SURVEY.md §2
+  * Part B rows B43-B46 + the north-star text-analysis set).
+  *
+  * The reference never inspects chunk payloads (opaque downloaded bytes,
+  * /root/reference/src/data_manager.rs:211-220); this module is the
+  * north-star surface that actually processes lake text at scale.
+  *
+  * Scale design: every op is a single scan + at most one shuffle.
+  * Dedup = groupBy on a 256-bit content hash (not the text itself — the
+  * shuffle moves 32-byte keys, not documents). MinHash banding turns the
+  * O(n²) near-dup problem into an equi-join on band keys. All token
+  * work uses codegen'd higher-order functions, no UDFs.
+  */
+object TextOps {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  // ---------------------------------------------------------------- B43
+  /** Exact dedup on sha2(text): keeper = min doc_id per content hash —
+    * the reference's idempotent-ingest gate (A4) applied to content. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "content_hash")
+      .orderBy("keep_id")
+
+  // ---------------------------------------------------------------- B46
+  /** Corpus stats rollup per (lang, source): doc/word/char counts. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(words(col("text"))).as("n_words"),
+        length(col("text")).as("n_chars"),
+        size(array_distinct(words(col("text")))).as("n_distinct"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_chars").as("total_chars"),
+        max("n_distinct").as("max_distinct"))
+      .orderBy("lang", "source")
+
+  /** Language ID: deterministic marker-word scoring (n-gram heuristic
+    * stand-in — the real corpus signal would be char n-gram profiles; the
+    * Spark plumbing is identical). */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = words(col("text"))
+    def hits(ws: Seq[String]): Column =
+      size(filter(toks, w => w.isInCollection(ws)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        hits(Seq("the", "a", "data", "query")).as("score_a"),
+        hits(Seq("spark", "stream", "batch", "row")).as("score_b"),
+        hits(Seq("join", "merge", "sort", "hash")).as("score_c"))
+      .withColumn("predicted",
+        when(col("score_a") >= col("score_b") && col("score_a") >= col("score_c"), "lang_a")
+          .when(col("score_b") >= col("score_c"), "lang_b")
+          .otherwise("lang_c"))
+      .select("doc_id", "lang", "score_a", "score_b", "score_c", "predicted")
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: lexical-diversity + length heuristics, exact
+    * integer arithmetic then one IEEE-deterministic division. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val toks = words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(col("text")).as("n_chars"))
+      .withColumn("diversity",
+        round(col("n_distinct").cast("double") / col("n_words"), 4))
+      .withColumn("avg_word_len",
+        round((col("n_chars") - col("n_words") + 1).cast("double") / col("n_words"), 4))
+      .withColumn("quality_band",
+        when(col("diversity") < lit(0.2), "low")
+          .when(col("n_words") < 30, "short")
+          .otherwise("ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + alpha tokens + a 4-chars-per-token
+    * BPE-style subword estimate (integer ceil-div, exact both engines). */
+  def tokenCount(s: SparkSession, d: String): DataFrame = {
+    val toks = words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("ws_tokens"),
+        size(filter(toks, w => w.rlike("^[a-z]+$"))).as("alpha_tokens"),
+        aggregate(
+          transform(toks, w => floor((length(w) + lit(3)) / lit(4)).cast("long")),
+          lit(0L), (a, x) => a + x).as("subword_est"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: 64-bit-safe polynomial rolling hash over the
+    * character stream, mod 1e9+7 — computable exactly in any engine
+    * (deterministic cross-engine unlike xxhash64; the xxhash64/SimHash
+    * variants live in [[simhash]] and are scalatest-verified). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- B44
+  /** Exact n-gram (3-shingle) Jaccard near-dup scoring on a bounded doc
+    * subset: inverted-index self-join on shingles → intersection counts →
+    * |A∪B| = |A|+|B|−|A∩B|. All-integer until the final division.
+    * At 100 TB you never run exact Jaccard on all pairs — this is the
+    * verification oracle for the MinHash path below. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= 0.05)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** k-word shingles of a text column as an array column (codegen'd:
+    * transform over index range + slice/join — no UDF). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
+      sh => length(sh) > 0)
+  }
+
+  /** MinHash signature + LSH banding near-dup candidates (the 100 TB
+    * dedup path: n_perm=32 hashes, 8 bands × 4 rows; candidate pairs =
+    * equi-join on (band, band_hash) buckets — never O(n²)).
+    * xxhash64(shingle, seed) plays the permutation family. Not DuckDB-
+    * expressible → rows-only check + scalatest property vs exact Jaccard.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val nPerm = 32
+    val bands = 8
+    val rowsPerBand = nPerm / bands
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // signature[i] = min over shingles of xxhash64(shingle, i)
+    val sig = docs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(nPerm - 1)),
+        i => array_min(transform(col("sh"), sh => xxhash64(sh, i)))).as("sig"))
+    // explode into bands; band key = hash of the band's signature slice
+    val banded = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+              .as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash: 64-bit fingerprint from per-token xxhash64 bit votes,
+    * emitted as a 64-char bit string (exact at all 64 bits — a double
+    * reconstruction would lose bits ≥ 2^53). Rows-only (hash family not
+    * reproducible in DuckDB); hamming-neighborhood property is
+    * scalatest-verified. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = array_distinct(words(col("text")))
+    // each token → its hash as a 64-char '0'/'1' array (2's complement)
+    val bitArrs = transform(toks, w => split(lpad(bin(xxhash64(w)), 64, "0"), ""))
+    // per-position ±1 votes summed across tokens
+    val votes = aggregate(
+      bitArrs,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, slice(h, 1, 64),
+        (a, c) => a + when(c === "1", 1L).otherwise(-1L)))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_join(transform(votes, v => when(v > 0, "1").otherwise("0")), "").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact"   -> (dedupExact(_, _)),
+    "llm_text_stats"    -> (textStats(_, _)),
+    "llm_lang_id"       -> (langId(_, _)),
+    "llm_quality"       -> (quality(_, _)),
+    "llm_tokens"        -> (tokenCount(_, _)),
+    "llm_fingerprint"   -> (fingerprint(_, _)),
+    "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
+    "llm_dedup_minhash" -> (minhashPairs(_, _)),
+    "llm_simhash"       -> (simhash(_, _))
+  )
+
+  private val tokCte =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS w
+      |  FROM documents)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  sha256(text) AS content_hash
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "llm_text_stats" ->
+      s"""$tokCte
+         |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(w)) AS BIGINT) AS total_words,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(MAX(len(list_distinct(w))) AS INT) AS max_distinct
+         |FROM toks GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "llm_lang_id" ->
+      s"""$tokCte
+         |SELECT doc_id, lang,
+         |  CAST(len(list_filter(w, x -> x IN ('the','a','data','query'))) AS INT) AS score_a,
+         |  CAST(len(list_filter(w, x -> x IN ('spark','stream','batch','row'))) AS INT) AS score_b,
+         |  CAST(len(list_filter(w, x -> x IN ('join','merge','sort','hash'))) AS INT) AS score_c,
+         |  CASE WHEN len(list_filter(w, x -> x IN ('the','a','data','query'))) >= len(list_filter(w, x -> x IN ('spark','stream','batch','row')))
+         |        AND len(list_filter(w, x -> x IN ('the','a','data','query'))) >= len(list_filter(w, x -> x IN ('join','merge','sort','hash')))
+         |       THEN 'lang_a'
+         |       WHEN len(list_filter(w, x -> x IN ('spark','stream','batch','row'))) >= len(list_filter(w, x -> x IN ('join','merge','sort','hash')))
+         |       THEN 'lang_b' ELSE 'lang_c' END AS predicted
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "llm_quality" ->
+      s"""$tokCte
+         |SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+         |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS diversity,
+         |  round(CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w), 4) AS avg_word_len,
+         |  CASE WHEN round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) < 0.2 THEN 'low'
+         |       WHEN len(w) < 30 THEN 'short' ELSE 'ok' END AS quality_band
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "llm_tokens" ->
+      s"""$tokCte
+         |SELECT doc_id, CAST(len(w) AS INT) AS ws_tokens,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$$'))) AS INT) AS alpha_tokens,
+         |  CAST(list_sum(list_transform(w, x -> (length(x) + 3) // 4)) AS BIGINT) AS subword_est
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Embedding similarity-search operators over `embeddings` (SURVEY.md §2
+  * Part B row B45 + north-star ANN requirement).
+  *
+  * All vector math uses codegen'd higher-order functions (`zip_with` +
+  * `aggregate` in double precision) — no UDF, no driver-side loop.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query batch and
+  * scans the corpus once — the right plan up to ~10⁹ vectors/query-batch.
+  * The IVF variant is the 100 TB path: corpus pre-partitioned by nearest
+  * centroid; a query probes only its nearest `nprobe` cells, cutting the
+  * scan by ncells/nprobe. (A production build would store the cell id as
+  * a partition column for partition pruning.)
+  */
+object VectorOps {
+
+  /** dot(a, b) in double precision, left-to-right accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** B45 `llm_sim_search`: brute-force cosine top-k (k=5) for a fixed
+    * query batch (vec_id < 3) against the whole corpus. Ranks are decided
+    * on rounded similarity + id so the DuckDB oracle agrees bit-for-bit. */
+  def simSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val scored = emb.filter(col("vec_id") >= 3).as("c")
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style ANN: corpus bucketed by nearest of 8 deterministic
+    * centroids (vec_id < 8); each query probes its nearest 2 cells only.
+    * Rows-only (float assignment chains are not worth oracling);
+    * scalatest checks recall against brute force. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    // assign every vector to its nearest centroid (broadcast: 8 rows)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("cell"))
+    val assigned = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
+        round(lit(2.0) - lit(2.0) * cosine(col("embedding"), col("cvec")), 9).as("dist"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "label", "embedding", "cell")
+    // queries probe their 2 nearest cells
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("cell"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("q"), col("cell"),
+        round(lit(2.0) - lit(2.0) * cosine(col("q"), col("cvec")), 9).as("qdist"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select("query_id", "q", "cell")
+    // search only within probed cells
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a label cluster:
+    * the embedding analog of MinHash dedup. Bounded to vec_id < 100. */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+    emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.label").as("label"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+      .filter(col("sim") > 0.7)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Vector stats: exact norms and dimension checks per vector subset. */
+  def embedStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(size(col("embedding"))).as("min_dim"),
+        max(size(col("embedding"))).as("max_dim"))
+      .orderBy("label")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sim_search"    -> (simSearch(_, _)),
+    "llm_ann_ivf"       -> (annIvf(_, _)),
+    "llm_embed_neardup" -> (embedNearDup(_, _)),
+    "llm_embed_stats"   -> (embedStats(_, _))
+  )
+
+  def oracles: Map[String, String] = Map(
+    // Dot products are recomputed term-by-term in DuckDB with the same
+    // left-to-right double accumulation via list_reduce (not
+    // list_cosine_similarity, whose accumulation order is unspecified).
+    "llm_sim_search" ->
+      """WITH dotp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(q.embedding)),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |      (a, x) -> a + x) AS dp,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(q.embedding)),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+        |      (a, x) -> a + x)) AS nq,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(c.embedding)),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |      (a, x) -> a + x)) AS nc
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 3 AND c.vec_id >= 3),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, round(dp / (nq * nc), 6) AS sim FROM dotp),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "llm_embed_neardup" ->
+      """WITH cos AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+        |    round(
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(a.embedding)),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |        (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(a.embedding)),
+        |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))),
+        |          (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(b.embedding)),
+        |            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |          (x, y) -> x + y))), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 100 AND b.vec_id < 100)
+        |SELECT id_a, id_b, label, sim FROM cos WHERE sim > 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "llm_embed_stats" ->
+      """SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(MIN(len(embedding)) AS INT) AS min_dim,
+        |  CAST(MAX(len(embedding)) AS INT) AS max_dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}

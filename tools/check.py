@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads each SparkEntry query result (parquet written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
+testdata tables, sorts columns by name, and compares row-by-row.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    ok, bad, noracle = [], [], []
+    import os
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        spark_rel = con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        if name not in oracles:
+            n = len(spark_rel.fetchall())
+            noracle.append((name, n))
+            continue
+        try:
+            duck_rel = con.sql(oracles[name])
+            scols = sorted(spark_rel.columns)
+            dcols = sorted(duck_rel.columns)
+            if [c.lower() for c in scols] != [c.lower() for c in dcols]:
+                bad.append((name, f"schema mismatch: spark={scols} duck={dcols}"))
+                continue
+            srows = [tuple(norm(v) for v in r) for r in con.sql(
+                "SELECT " + ",".join(f'"{c}"' for c in scols) +
+                f" FROM '{out_dir}/{name}/*.parquet'").fetchall()]
+            drows = [tuple(norm(v) for v in r) for r in duck_rel.select(
+                ",".join(f'"{c}"' for c in dcols)).fetchall()]
+            if len(srows) != len(drows):
+                bad.append((name, f"rowcount spark={len(srows)} duck={len(drows)}"))
+                continue
+            mism = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+            if mism:
+                i, a, b = mism[0]
+                bad.append((name, f"{len(mism)}/{len(srows)} rows differ; first@{i}:\n  spark={a}\n  duck ={b}\n  cols ={scols}"))
+            else:
+                ok.append((name, len(srows)))
+        except Exception as e:
+            bad.append((name, f"oracle error: {e}"))
+
+    for name, n in ok:
+        print(f"PASS {name} ({n} rows)")
+    for name, n in noracle:
+        print(f"NOORACLE {name} ({n} rows)")
+    for name, msg in bad:
+        print(f"FAIL {name}: {msg}")
+    print(f"\n{len(ok)} pass, {len(bad)} fail, {len(noracle)} rows-only")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
