@@ -22,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ChunkCatalog.queries ++ Relational.queries ++ ScalarFns.queries ++
-      Windows.queries ++ TextOps.queries ++ VectorOps.queries
+      Windows.queries ++ TextOps.queries ++ VectorOps.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ChunkCatalog.oracles ++ Relational.oracles ++ ScalarFns.oracles ++
-      Windows.oracles ++ TextOps.oracles ++ VectorOps.oracles
+      Windows.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
+      Multimodal.oracles
 }

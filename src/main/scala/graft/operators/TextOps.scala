@@ -160,19 +160,24 @@ object TextOps {
     val nPerm = 32
     val bands = 8
     val rowsPerBand = nPerm / bands
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // signature[i] = min over shingles of xxhash64(shingle, i)
-    val sig = docs.select(col("doc_id"),
-      transform(sequence(lit(0), lit(nPerm - 1)),
-        i => array_min(transform(col("sh"), sh => xxhash64(sh, i)))).as("sig"))
-    // explode into bands; band key = hash of the band's signature slice
+    // explode (doc, shingle) then take 32 per-permutation mins in ONE
+    // hash aggregate: partial (map-side) min combine means the shuffle
+    // carries 32 longs per doc, not the shingle sets — the shape that
+    // survives 100 TB. (A single nested-lambda expression computing the
+    // whole signature per row codegens into a huge method and ran ~30×
+    // slower at sf0.01.)
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+    val sig = exploded.groupBy("doc_id")
+      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
+        (1 until nPerm).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i")): _*)
+    // band key = hash of the band's rowsPerBand signature values
     val banded = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-              .as("bh")))).as("bb"))
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+            .as("bh"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ingest pipeline (SURVEY.md §2 Part A rows A2-A5, A15,
+  * A18) re-expressed as one Spark batch job.
+  *
+  * Reference flow (/root/reference/src/data_manager.rs:188-276): download
+  * chunk → decode → dedup-on-id (`Entry::Vacant` gate, :223-256) → quota
+  * admission (`MAX_SIZE_ON_DISK`, :19, :229-239) → transactional persist
+  * (/root/reference/src/rocksdb_storage_engine.rs:105-136) with rollback
+  * on error (:258-275).
+  *
+  * Spark restatement: source read → `left_anti` dedup against the catalog
+  * → cumulative-size quota gate → atomic `append` write (Spark's job
+  * commit protocol plays the optimistic transaction, SURVEY.md §3.1).
+  * Immutable files make the reference's semaphore pinning/rollback
+  * machinery unnecessary (SURVEY.md §1.4).
+  *
+  * Scale: the anti-join ships only 32-byte ids; the quota check is one
+  * aggregate over the (small) catalog, mirroring the reference's "fast
+  * (a bit inaccurate)" pre-check comment (:229-231) — admission is
+  * evaluated against the catalog total at job start, not re-checked
+  * per-row.
+  */
+object Ingest {
+
+  /** Engine error ADT — models `Error` (/root/reference/src/lib.rs:47-59). */
+  sealed trait IngestError
+  /** `Error::MaxSizeAllocated` (/root/reference/src/lib.rs:51-52). */
+  final case class MaxSizeAllocated(wouldBe: Long, cap: Long) extends IngestError
+
+  final case class IngestResult(
+      ingested: Long, deduped: Long, rejected: Option[IngestError])
+
+  /** Expected catalog schema: chunk_id, dataset_id, block_start,
+    * block_end, size_bytes (+ free columns). */
+  def readCatalog(spark: SparkSession, catalogPath: String): DataFrame = {
+    // partitionBy nests files under dataset_id=<v>/ dirs — probe recursively
+    def hasParquet(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.exists(c => c.getName.endsWith(".parquet") || (c.isDirectory && hasParquet(c)))
+    }
+    val p = new java.io.File(catalogPath)
+    if (p.exists() && hasParquet(p))
+      spark.read.parquet(catalogPath)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "chunk_id STRING, dataset_id STRING, block_start BIGINT, " +
+            "block_end BIGINT, size_bytes BIGINT"))
+  }
+
+  /** Ingest a batch of chunk rows into the catalog at `catalogPath`.
+    *
+    * 1. dedup within the batch (first occurrence per chunk_id wins) and
+    *    against already-persisted ids (idempotent replay, A4);
+    * 2. quota: if existing + incoming total exceeds `maxSizeOnDisk`,
+    *    reject the whole batch with [[MaxSizeAllocated]] (the reference
+    *    rejects per-chunk; batch-level is the job-granularity analog);
+    * 3. atomic append, partitioned by dataset_id so lookups prune.
+    */
+  def ingest(spark: SparkSession, catalogPath: String, batch: DataFrame,
+      maxSizeOnDisk: Long = 1000000000000L): IngestResult = {
+    val catalog = readCatalog(spark, catalogPath)
+    val fresh = batch
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk_id").orderBy("dataset_id", "block_start")))
+      .filter(col("rn") === 1).drop("rn")
+      .join(catalog.select("chunk_id"), Seq("chunk_id"), "left_anti")
+      .cache()
+    try {
+      val freshCount = fresh.count()
+      val deduped = batch.count() - freshCount
+      val existing = catalog.agg(coalesce(sum("size_bytes"), lit(0L))).head.getLong(0)
+      val incoming = fresh.agg(coalesce(sum("size_bytes"), lit(0L))).head.getLong(0)
+      if (existing + incoming > maxSizeOnDisk) {
+        IngestResult(0, deduped, Some(MaxSizeAllocated(existing + incoming, maxSizeOnDisk)))
+      } else {
+        if (freshCount > 0)
+          fresh.write.mode(SaveMode.Append)
+            .partitionBy("dataset_id").parquet(catalogPath)
+        IngestResult(freshCount, deduped, None)
+      }
+    } finally fresh.unpersist()
+  }
+
+  /** A7 read path over the persisted catalog: interval-containment lookup
+    * with dataset partition pruning (replaces the RocksDB range-index
+    * probe, /root/reference/src/rocksdb_storage_engine.rs:34-50). */
+  def findChunk(spark: SparkSession, catalogPath: String,
+      datasetId: String, blockNumber: Long): DataFrame =
+    readCatalog(spark, catalogPath)
+      .filter(col("dataset_id") === datasetId &&
+        col("block_start") <= blockNumber && lit(blockNumber) < col("block_end"))
+
+  /** A8/A14 delete path: rewrite the catalog without the chunk id —
+    * atomic overwrite; concurrent readers keep their snapshot (the
+    * drain-readers semantics for free, SURVEY.md §3.3). */
+  def deleteChunk(spark: SparkSession, catalogPath: String, chunkId: String): Long = {
+    val remaining = readCatalog(spark, catalogPath).filter(col("chunk_id") =!= chunkId)
+    val n = remaining.count()
+    val tmp = catalogPath + "_rewrite"
+    remaining.write.mode(SaveMode.Overwrite).partitionBy("dataset_id").parquet(tmp)
+    val fs = new java.io.File(catalogPath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(fs)
+    new java.io.File(tmp).renameTo(fs)
+    n
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2 Part B rows B38-B42).
+  *
+  * Each takes a *streaming* DataFrame of events
+  * (`event_id, ts: timestamp, user_id, event_type, value`) and returns a
+  * streaming DataFrame; the batch-equivalent forms live in
+  * [[graft.operators.Windows]] (identical semantics — that is the
+  * batch/stream parity Structured Streaming guarantees). MemoryStream
+  * scalatests drive these (`StreamOpsSpec`).
+  *
+  * The reference has no streams; its idempotent-ingest gate
+  * (/root/reference/src/data_manager.rs:223-256) carries over as
+  * [[dedupWithinWatermark]] (B42).
+  *
+  * Scale: state stores are keyed by (window/user/event id) and bounded by
+  * the watermark — late data past 10 minutes is dropped instead of
+  * growing state forever, the only stable configuration at 100 TB/day
+  * stream rates.
+  */
+object StreamOps {
+
+  /** B38 streaming tumbling-window counts, append mode after watermark. */
+  def tumblingCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", gap)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** B39 sliding windows on a stream. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+
+  /** B40 session windows per user (30-minute gap), streaming form. */
+  def sessionize(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("n"))
+
+  /** B42 stateful dedup on event_id within the watermark — streaming
+    * idempotent ingest (the reference's Entry::Vacant gate, A4). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** B42 custom keyed state: running per-user event counter + last-seen
+    * timestamp via mapGroupsWithState (the escape hatch when built-in
+    * windows can't express the state machine). */
+  final case class UserStat(userId: Long, nEvents: Long, lastTs: java.sql.Timestamp)
+  def runningUserStats(events: Dataset[(Long, java.sql.Timestamp)]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[UserStat]) =>
+          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, batch.head._2))
+          val next = UserStat(uid, prev.nEvents + batch.size,
+            batch.map(_._2).maxBy(_.getTime))
+          state.update(next)
+          next
+      }
+  }
+}

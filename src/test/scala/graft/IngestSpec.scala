@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.Ingest
+
+/** Ingest-pipeline semantics (reference A2-A5/A15): idempotent replay,
+  * in-batch dedup, quota rejection, delete rewrite. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, String, Long, Long, Long)*) =
+    rows.toDF("chunk_id", "dataset_id", "block_start", "block_end", "size_bytes")
+
+  private def tmpCatalog(): String =
+    Files.createTempDirectory("graft_cat").resolve("catalog").toString
+
+  test("fresh ingest persists all; replay ingests nothing (idempotent)") {
+    val path = tmpCatalog()
+    val b = batch(("c1", "D1", 0, 100, 10), ("c2", "D1", 100, 200, 20))
+    val r1 = Ingest.ingest(spark, path, b)
+    assert(r1.ingested == 2 && r1.deduped == 0 && r1.rejected.isEmpty)
+    val r2 = Ingest.ingest(spark, path, b) // replay — A4 Entry::Vacant gate
+    assert(r2.ingested == 0 && r2.deduped == 2)
+    assert(Ingest.readCatalog(spark, path).count() == 2)
+  }
+
+  test("in-batch duplicate ids collapse to one row") {
+    val path = tmpCatalog()
+    val b = batch(("c1", "D1", 0, 100, 10), ("c1", "D1", 0, 100, 10))
+    val r = Ingest.ingest(spark, path, b)
+    assert(r.ingested == 1 && r.deduped == 1)
+  }
+
+  test("quota: batch pushing total over cap is rejected with MaxSizeAllocated") {
+    val path = tmpCatalog()
+    assert(Ingest.ingest(spark, path, batch(("c1", "D1", 0, 100, 600))).rejected.isEmpty)
+    val r = Ingest.ingest(spark, path, batch(("c2", "D1", 100, 200, 500)),
+      maxSizeOnDisk = 1000L)
+    r.rejected match {
+      case Some(Ingest.MaxSizeAllocated(wouldBe, cap)) =>
+        assert(wouldBe == 1100L && cap == 1000L)
+      case other => fail(s"expected MaxSizeAllocated, got $other")
+    }
+    // rejected batch must not have been persisted (reference rollback,
+    // data_manager.rs:258-275)
+    assert(Ingest.readCatalog(spark, path).count() == 1)
+  }
+
+  test("find/delete round-trip: delete drains the chunk from lookups") {
+    val path = tmpCatalog()
+    Ingest.ingest(spark, path,
+      batch(("c1", "D1", 0, 100, 1), ("c2", "D1", 100, 200, 1)))
+    assert(Ingest.findChunk(spark, path, "D1", 150).count() == 1)
+    assert(Ingest.deleteChunk(spark, path, "c2") == 1)
+    assert(Ingest.findChunk(spark, path, "D1", 150).count() == 0)
+    assert(Ingest.findChunk(spark, path, "D1", 50).count() == 1)
+  }
+}

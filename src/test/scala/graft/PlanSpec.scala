@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.Exchange
+import graft.operators._
+
+/** Plan-shape assertions for the §4 scale claims: filters/projection
+  * reach the parquet scan, small dims broadcast, top-k avoids a global
+  * sort, catalog aggregation is partial+final. These are the properties
+  * that survive a 1000-executor 100 TB run — asserted, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_pred: predicates are pushed to the parquet scan") {
+    val plan = executedPlan(Relational.filterPred(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_returnflag") && plan.contains("l_quantity"))
+  }
+
+  test("proj_basic: scan reads only the projected columns") {
+    val df = Relational.projBasic(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val scan = scans.find(_.contains("lineitem")).getOrElse(fail("no scan"))
+    assert(scan.contains("ReadSchema"))
+    // 11-column table; only the 5 needed columns may be read
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_returnflag"),
+      scan.takeRight(500))
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin, not a shuffle join") {
+    val plan = executedPlan(Relational.joinBroadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("join_semi/anti plan as semi/anti hash joins") {
+    assert(executedPlan(Relational.joinSemi(spark, sf)).contains("LeftSemi"))
+    assert(executedPlan(Relational.joinAnti(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("topk plans TakeOrderedAndProject (no global sort of the table)") {
+    val plan = executedPlan(Relational.topk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("agg_basic uses two-phase hash aggregation (partial + final)") {
+    val plan = executedPlan(Relational.aggBasic(spark, sf))
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("agg_basic runs inside whole-stage codegen") {
+    // AQE finalizes the plan only after execution — run it, then unwrap
+    // the adaptive plan and inspect the final stages
+    val df = Relational.aggBasic(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    // "*(n)" prefixes are the whole-stage-codegen stage markers in the
+    // compact plan string (the long form spells out WholeStageCodegen)
+    assert(plan.contains("*(1)"), plan.take(1500))
+  }
+
+  test("chunk_find: single scan, no shuffle before the filter") {
+    val df = ChunkCatalog.chunkFind(spark, sf)
+    // one aggregation shuffle (catalog build) + orderBy exchange at most
+    val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(exchanges.length <= 2, df.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("approx distinct bounds: HLL estimate within 5% of exact") {
+    Relational.aggApprox(spark, sf).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("all declared queries execute and return rows at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0 && name != "join_anti" && name != "llm_embed_neardup") Some(name -> n) else None
+    }
+    assert(empty.isEmpty, s"unexpectedly empty: $empty")
+  }
+}

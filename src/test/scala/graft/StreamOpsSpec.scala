@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Structured Streaming semantics via MemoryStream (SURVEY.md §5.4):
+  * watermark late-row drop, streaming dedup, batch/stream window parity,
+  * custom keyed state. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  import StreamOpsSpec.Ev
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private def runStream(
+      ops: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String,
+      batches: Seq[Seq[Ev]]): Array[org.apache.spark.sql.Row] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"out_${System.nanoTime()}"
+    val q = ops(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("tumbling stream counts equal the batch window() result") {
+    val evs = (0 until 120).map(i =>
+      Ev(i.toLong, ts(i * 2), i % 5, if (i % 2 == 0) "click" else "view", 1.0))
+    val got = runStream(df => StreamOps.tumblingCounts(df), "complete",
+      Seq(evs.take(60), evs.drop(60)))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = evs.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("watermark drops rows later than 10 minutes behind the max ts") {
+    // batch 1 advances the clock to 02:00; batch 2 injects an event at
+    // 00:05 — far behind the watermark → dropped from append output
+    val onTime = (0 until 12).map(i => Ev(i.toLong, ts(i * 10), 1, "click", 1.0))
+    val late = Seq(Ev(99L, ts(5), 1, "click", 1.0))
+    val rows = runStream(df => StreamOps.tumblingCounts(df), "append",
+      Seq(onTime, late, Seq(Ev(100L, ts(130), 1, "click", 1.0))))
+    // the 00:00 window must have closed with only its on-time rows (6),
+    // never re-emitted with the late row added
+    val hour0 = rows.filter(_.getTimestamp(0) == ts(0))
+    assert(hour0.length == 1 && hour0.head.getLong(2) == 6L)
+  }
+
+  test("dropDuplicatesWithinWatermark: replayed event ids appear once") {
+    val evs = (0 until 10).map(i => Ev(i.toLong, ts(i), 1, "click", 1.0))
+    val rows = runStream(df => StreamOps.dedupWithinWatermark(df), "append",
+      Seq(evs, evs)) // exact replay — the streaming Entry::Vacant gate
+    assert(rows.length == 10)
+  }
+
+  test("session stream windows match the batch session_window() result") {
+    val evs = Seq(
+      Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 1.0),   // session 1
+      Ev(3, ts(60), 1, "a", 1.0),                               // session 2
+      Ev(4, ts(0), 2, "a", 1.0))                                // user 2
+    val got = runStream(df => StreamOps.sessionize(df), "complete", Seq(evs))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val want = evs.toDF()
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start", $"w.end", $"n")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val name = s"out_${System.nanoTime()}"
+    val q = StreamOps.runningUserStats(mem.toDS()).toDF().writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      mem.addData(Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(2))))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, ts(3))))
+      q.processAllAvailable()
+      val last = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      assert(last(1L) == 3L && last(2L) == 1L)
+    } finally q.stop()
+  }
+}
+
+object StreamOpsSpec {
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+}

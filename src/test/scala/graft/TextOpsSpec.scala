@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Text-pipeline semantics: shingling, MinHash-vs-Jaccard concentration,
+  * SimHash locality, fingerprint determinism. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: k-word windows, count = n_words - k + 1") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sh = df.select(TextOps.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("shingles: text shorter than k yields the whole text") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val sh = df.select(TextOps.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head
+    assert(sh == Seq("a b"))
+  }
+
+  test("minhash candidates: identical docs always collide; disjoint docs never") {
+    // identical pair (1,2); disjoint third doc
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different words entirely unrelated content here now today ok"
+    val docs = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("minhash_docs")
+    // run the same pipeline shape against the temp fixture
+    val pairs = minhashOn(docs)
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => (a == 3L) || (b == 3L) })
+  }
+
+  private def minhashOn(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val nPerm = 32; val bands = 8; val rpb = nPerm / bands
+    val exploded = docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
+    val sig = exploded.groupBy("doc_id")
+      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
+        (1 until nPerm).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i")): _*)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rpb until (b + 1) * rpb).map(i => col(s"h$i")): _*).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("minhash candidates on testdata ⊇ high-Jaccard exact pairs") {
+    // every exact pair with Jaccard ≥ 0.9 must be an LSH candidate
+    // (8 bands × 4 rows: P[miss | J=0.9] = (1-0.9^4)^8 ≈ 4e-5)
+    val exact = TextOps.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cand = TextOps.minhashPairs(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(cand), s"missed: ${exact.diff(cand)}")
+  }
+
+  test("simhash: identical texts get identical fingerprints; fingerprint is 64 bits") {
+    val out = TextOps.simhash(spark, sf).as[(Long, String)].collect()
+    assert(out.forall(_._2.length == 64))
+    assert(out.forall(_._2.forall(c => c == '0' || c == '1')))
+  }
+
+  test("fingerprint: stable across runs (pure function of text)") {
+    val a = TextOps.fingerprint(spark, sf).as[(Long, Long)].collect().toMap
+    val b = TextOps.fingerprint(spark, sf).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val docs = Tables.documents(spark, sf)
+    val n = TextOps.dedupExact(spark, sf).count()
+    assert(n == docs.select("text").distinct().count())
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** Vector-math laws + ANN sanity: cosine symmetry/range/self-sim, IVF
+  * recall vs brute force. */
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pairs = {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("ab"),
+        VectorOps.cosine(col("b.embedding"), col("a.embedding")).as("ba"))
+      .collect()
+  }
+
+  test("cosine is symmetric and in [-1, 1]") {
+    pairs.foreach { r =>
+      val (ab, ba) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(ab - ba) < 1e-12)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cosine self-similarity is 1") {
+    val selfs = Tables.embeddings(spark, sf).limit(20)
+      .select(VectorOps.cosine(col("embedding"), col("embedding")).as("s"))
+      .as[Double].collect()
+    selfs.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k: k rows per query, ranks 1..k, sims non-increasing") {
+    val out = VectorOps.simSearch(spark, sf)
+      .select("query_id", "rank", "sim").as[(Long, Int, Double)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._3 >= y._3
+        case _ => true
+      })
+    }
+  }
+
+  test("IVF ANN recall@5 vs brute force ≥ 0.4 with 2/8 cells probed") {
+    val bf = VectorOps.simSearch(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall=$recall (bf=$bf ivf=$ivf)")
+  }
+}
