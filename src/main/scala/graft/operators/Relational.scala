@@ -222,6 +222,10 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        // Datasketches HLL: the mergeable-sketch form (hll_union across
+        // shards is how 100 TB distinct counts compose); register-max
+        // merge is commutative so the estimate is partition-order-stable
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("hll_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 

@@ -208,6 +208,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs on a bounded subset via the native
+    * [[graft.functions.NativeExpressions.hamming_dist]] codegen expression
+    * (B48). At 100 TB the pair join is LSH-banded on 16-bit fingerprint
+    * slices first (same shape as [[minhashPairs]]); the exhaustive subset
+    * join here is the verification baseline. Rows-only (xxhash64 family
+    * not reproducible in DuckDB). */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(s, d).filter(col("doc_id") < 150)
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.functions.NativeExpressions
+          .hamming_dist(col("a.simhash"), col("b.simhash")).as("dist"))
+      // tiny shared vocab makes fingerprints cluster: <=20 bits matches
+      // ~90% of pairs on this corpus; 10 keeps it selective
+      .filter(col("dist") <= 10)
+      .orderBy("id_a", "id_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"   -> (dedupExact(_, _)),
     "llm_text_stats"    -> (textStats(_, _)),
@@ -217,7 +235,8 @@ object TextOps {
     "llm_fingerprint"   -> (fingerprint(_, _)),
     "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
     "llm_dedup_minhash" -> (minhashPairs(_, _)),
-    "llm_simhash"       -> (simhash(_, _))
+    "llm_simhash"       -> (simhash(_, _)),
+    "llm_simhash_neardup" -> (simhashNearDup(_, _))
   )
 
   private val tokCte =

@@ -27,7 +27,17 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Built-in-composed cosine (kept as the reference implementation the
+    * native expression is tested bit-identical against). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — the fused native Catalyst expression
+    * ([[graft.functions.NativeExpressions.CosineSim]]): one codegen'd
+    * loop, no intermediate arrays, bit-identical to [[cosineHof]]
+    * (NativeExpressionsSpec proves it), so the DuckDB oracles still
+    * hash-match. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.cosine_sim(a, b)
 
   /** B45 `llm_sim_search`: brute-force cosine top-k (k=5) for a fixed
     * query batch (vec_id < 3) against the whole corpus. Ranks are decided
@@ -100,6 +110,25 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-label centroid via the typed [[graft.functions.VectorAggregators.Centroid]]
+    * aggregator (B49): mergeable map-side buffers; output rounded (merge
+    * order makes the last ulp partition-dependent → rows-only check). */
+  def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.VectorAggregators.Centroid.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"),
+        round(sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)), 4)
+          .as("centroid_norm"),
+        size(col("centroid")).as("dim"))
+      .orderBy("label")
+  }
+
   /** Vector stats: exact norms and dimension checks per vector subset. */
   def embedStats(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -114,7 +143,8 @@ object VectorOps {
     "llm_sim_search"    -> (simSearch(_, _)),
     "llm_ann_ivf"       -> (annIvf(_, _)),
     "llm_embed_neardup" -> (embedNearDup(_, _)),
-    "llm_embed_stats"   -> (embedStats(_, _))
+    "llm_embed_stats"   -> (embedStats(_, _)),
+    "llm_centroid"      -> (labelCentroids(_, _))
   )
 
   def oracles: Map[String, String] = Map(

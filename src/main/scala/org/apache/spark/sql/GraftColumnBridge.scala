@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters (Spark 4
+  * moved Column onto ColumnNode; `classic.ExpressionUtils` is the
+  * sanctioned internal shim). Standard extension-library technique for
+  * exposing custom Catalyst expressions as user-facing Columns. */
+object GraftColumnBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -72,11 +72,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.length <= 2, df.queryExecution.executedPlan.toString.take(2000))
   }
 
-  test("approx distinct bounds: HLL estimate within 5% of exact") {
+  test("approx distinct bounds: HLL estimates within 5% of exact") {
     Relational.aggApprox(spark, sf).collect().foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      val (approx, hll, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(math.abs(approx - exact).toDouble / exact < 0.05,
         s"approx=$approx exact=$exact")
+      assert(math.abs(hll - exact).toDouble / exact < 0.05,
+        s"hll=$hll exact=$exact")
     }
   }
 
