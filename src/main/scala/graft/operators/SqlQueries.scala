@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** SQL-API surface: the same engine driven through `spark.sql` text
+  * (SURVEY.md §2 Part B — the B10-B30 operators compose under the SQL
+  * parser exactly as under the DataFrame DSL; both lower to the same
+  * Catalyst plans). Two TPC-H-shaped multi-join analytics queries prove
+  * the parser → analyzer → optimizer path end-to-end.
+  *
+  * Scale notes: Q3 joins two large tables after selective dim filters —
+  * Catalyst pushes both filters below the join and AQE picks
+  * broadcast-hash once the filtered side is small. Q5 is the 6-table
+  * star join; join reorder + broadcast of region/nation is the plan
+  * that survives 100 TB.
+  */
+object SqlQueries {
+
+  private def registerViews(s: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+
+  /** TPC-H Q3 shape: shipping priority — revenue of unshipped orders for
+    * one market segment. */
+  def q3(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q5 shape: local-supplier revenue per nation within one region
+    * and year. */
+  def q5(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q3" -> (q3(_, _)),
+    "sql_q5" -> (q5(_, _))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sql_q3" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "sql_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

@@ -166,11 +166,16 @@ object TextOps {
     // survives 100 TB. (A single nested-lambda expression computing the
     // whole signature per row codegens into a huge method and ran ~30×
     // slower at sf0.01.)
+    // one 64-bit base hash per shingle string; each permutation re-hashes
+    // the LONG (single xxhash64 round, no string traversal, and no
+    // wrapping multiply — ANSI mode rejects overflowing Long arithmetic)
     val exploded = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    def perm(i: Int): Column = xxhash64(col("h"), lit(i))
     val sig = exploded.groupBy("doc_id")
-      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
-        (1 until nPerm).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i")): _*)
+      .agg(min(perm(0)).as("h0"),
+        (1 until nPerm).map(i => min(perm(i)).as(s"h$i")): _*)
     // band key = hash of the band's rowsPerBand signature values
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>

@@ -66,14 +66,19 @@ object VectorOps {
     val emb = Tables.embeddings(s, d)
     val centroids = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
-    // assign every vector to its nearest centroid (broadcast: 8 rows)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("dist").asc, col("cell"))
+    // assign every vector to its nearest centroid (broadcast: 8 rows).
+    // argmin via min(struct(dist, cell)) — a partial+final hash aggregate
+    // (map-side combine, no per-vector window sort): at 10⁹ vectors this
+    // is one shuffle of (vec_id → 2 numbers), not a sort of n×ncells rows
     val assigned = emb.join(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("embedding"), col("cell"),
-        round(lit(2.0) - lit(2.0) * cosine(col("embedding"), col("cvec")), 9).as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        struct(
+          round(lit(2.0) - lit(2.0) * cosine(col("embedding"), col("cvec")), 9).as("dist"),
+          col("cell")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min(col("dc")).getField("cell").as("cell"),
+        first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"))
       .select("vec_id", "label", "embedding", "cell")
     // queries probe their 2 nearest cells
     val queries = emb.filter(col("vec_id") < 3)
