@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property-based laws (SURVEY.md §5.3): interval-lookup vs brute force,
+  * dedup idempotence, cosine bounds/symmetry, hamming metric laws —
+  * driven through the engine's own expressions on generated data. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic generator sampling (no scalatest-scalacheck bridge in
+    * the offline cache): fixed seeds -> reproducible property runs. */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(ga, 30).zip(samples(gb, 30)).foreach { case (a, b) => f(a, b) }
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    samples(ga, 30).lazyZip(samples(gb, 30)).lazyZip(samples(gc, 30))
+      .foreach { case (a, b, c) => f(a, b, c) }
+
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    samples(ga, 30).foreach(f)
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val chunkGen: Gen[List[(String, Long, Long)]] = for {
+    n <- Gen.choose(1, 12)
+    starts <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    lens <- Gen.listOfN(n, Gen.choose(1L, 100L))
+  } yield starts.zip(lens).zipWithIndex.map { case ((s0, l), i) =>
+    (s"c$i", s0, s0 + l)
+  }
+
+  test("interval containment lookup equals brute-force scan (half-open)") {
+    forAll(chunkGen, Gen.choose(0L, 650L)) { (chunks, probe) =>
+      whenever(chunks.nonEmpty) {
+        val df = chunks.toDF("chunk_id", "block_start", "block_end")
+        val got = df.filter(col("block_start") <= probe && lit(probe) < col("block_end"))
+          .select("chunk_id").as[String].collect().toSet
+        val want = chunks.collect {
+          case (id, s0, e) if s0 <= probe && probe < e => id
+        }.toSet
+        assert(got == want)
+      }
+    }
+  }
+
+  test("dedup is idempotent and order-insensitive") {
+    forAll(Gen.listOf(Gen.choose(0, 20))) { ids =>
+      whenever(ids.nonEmpty) {
+        val df = ids.map(i => (s"c$i", i)).toDF("chunk_id", "v")
+        val once = df.dropDuplicates("chunk_id")
+        val twice = once.dropDuplicates("chunk_id")
+        assert(once.count() == ids.distinct.size)
+        assert(twice.count() == once.count())
+      }
+    }
+  }
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.choose(-10.0f, 10.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("cosine_sim: |c| <= 1, symmetric, self = 1 (generated vectors)") {
+    forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val Array(ab, ba, aa) = df.select(
+        graft.functions.NativeExpressions.cosine_sim(col("a"), col("b")),
+        graft.functions.NativeExpressions.cosine_sim(col("b"), col("a")),
+        graft.functions.NativeExpressions.cosine_sim(col("a"), col("a")))
+        .as[(Double, Double, Double)].collect().flatMap(t => Array(t._1, t._2, t._3))
+      assert(ab == ba)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      assert(math.abs(aa - 1.0) < 1e-9)
+    }
+  }
+
+  private val bitsGen: Gen[String] =
+    Gen.listOfN(16, Gen.oneOf('0', '1')).map(_.mkString)
+
+  test("hamming_dist: identity, symmetry, triangle inequality") {
+    forAll(bitsGen, bitsGen, bitsGen) { (x, y, z) =>
+      val df = Seq((x, y, z)).toDF("x", "y", "z")
+      def h(a: String, b: String) =
+        graft.functions.NativeExpressions.hamming_dist(col(a), col(b))
+      val r = df.select(h("x", "x"), h("x", "y"), h("y", "x"), h("x", "z"), h("z", "y"))
+        .as[(Int, Int, Int, Int, Int)].head()
+      val (xx, xy, yx, xz, zy) = r
+      assert(xx == 0)
+      assert(xy == yx)
+      assert(xy <= xz + zy)
+    }
+  }
+}

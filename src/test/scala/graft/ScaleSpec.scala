@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.plans.Scale
+
+/** Scale-technique equivalence: salted aggregation/join must produce
+  * exactly the plain results; bucketed tables must co-locate the join
+  * (no shuffle exchange); the ingest catalog's partition layout must
+  * prune on dataset_id. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain groupBy on a skewed column") {
+    val li = Tables.lineitem(spark, sf)
+    val plain = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum"))
+      .as[(String, Long, Double)].collect().map { case (k, n, s) => k -> (n, s) }.toMap
+    val salted = Scale.saltedCountSum(li, "l_returnflag", "l_quantity")
+      .as[(String, Long, Double)].collect().map { case (k, n, s) => k -> (n, s) }.toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join (row multiset)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val oKeyed = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val plain = li.join(oKeyed, Seq("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Scale.saltedJoin(li, oKeyed, "l_orderkey")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // default warehouse dir (spark-warehouse/, gitignored) — the conf is
+    // static and cannot be set on a live session. The in-memory catalog
+    // forgets tables between JVMs but the directories persist: clear both.
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      if (dir.exists()) rm(dir)
+    }
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"expected bucket-co-located join, got shuffles:\n$plan")
+  }
+
+  test("ingest catalog partition layout prunes on dataset_id") {
+    val path = Files.createTempDirectory("graft_cat").resolve("cat").toString
+    val batch = Seq(
+      ("c1", "D1", 0L, 100L, 1L), ("c2", "D2", 0L, 100L, 1L),
+      ("c3", "D3", 0L, 100L, 1L))
+      .toDF("chunk_id", "dataset_id", "block_start", "block_end", "size_bytes")
+    graft.sources.Ingest.ingest(spark, path, batch)
+    val q = graft.sources.Ingest.findChunk(spark, path, "D2", 50L)
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("FileScan")).getOrElse(fail("no scan"))
+    assert(scan.contains("PartitionFilters") && scan.contains("dataset_id"),
+      scan.takeRight(800))
+    assert(q.count() == 1)
+  }
+}
