@@ -231,6 +231,48 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Text normalization + pattern redaction: lowercase, punctuation
+    * strip, whitespace collapse, tool-word redaction — the cleaning stage
+    * every corpus pipeline runs before hashing/dedup. */
+  def normalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("clean"),
+        (length(regexp_replace(col("text"), "spark|stream", "[TOOL]"))
+          - length(col("text"))).as("redact_delta"))
+      .select(col("doc_id"),
+        substring(col("clean"), 1, 40).as("clean_prefix"),
+        length(col("clean")).as("clean_len"),
+        col("redact_delta"))
+      .orderBy("doc_id")
+
+  /** End-to-end curation pipeline (the composition a training-data run
+    * executes): normalize → quality gate (diversity ≥ 0.2, ≥ 30 words) →
+    * exact-dedup on normalized text → per-language rollup of kept docs
+    * and token budget. One scan, one dedup shuffle, one rollup shuffle. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val toks = words(col("text"))
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        lower(col("text")).as("norm"),
+        size(toks).as("n_words"),
+        size(array_distinct(toks)).as("n_distinct"))
+      .filter(col("n_words") >= 30 &&
+        col("n_distinct").cast("double") / col("n_words") >= 0.2)
+    staged
+      .groupBy("norm")
+      // min, not first: keeps the group representative deterministic even
+      // when identical normalized texts span languages
+      .agg(min("doc_id").as("keep_id"),
+        min("lang").as("lang"),
+        min("n_words").as("n_words"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("n_words").as("token_budget"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact"   -> (dedupExact(_, _)),
     "llm_text_stats"    -> (textStats(_, _)),
@@ -241,7 +283,9 @@ object TextOps {
     "llm_ngram_jaccard" -> (ngramJaccard(_, _)),
     "llm_dedup_minhash" -> (minhashPairs(_, _)),
     "llm_simhash"       -> (simhash(_, _)),
-    "llm_simhash_neardup" -> (simhashNearDup(_, _))
+    "llm_simhash_neardup" -> (simhashNearDup(_, _)),
+    "llm_normalize"     -> (normalize(_, _)),
+    "llm_pipeline"      -> (curationPipeline(_, _))
   )
 
   private val tokCte =
@@ -296,6 +340,30 @@ object TextOps {
         |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_normalize" ->
+      """SELECT doc_id,
+        |  substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')), 1, 40) AS clean_prefix,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS INT) AS clean_len,
+        |  CAST(length(regexp_replace(text, 'spark|stream', '[TOOL]', 'g')) - length(text) AS INT) AS redact_delta
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_pipeline" ->
+      """WITH staged AS (
+        |  SELECT doc_id, lang, lower(text) AS norm,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) >= 0.2),
+        |deduped AS (
+        |  SELECT min(doc_id) AS keep_id, min(lang) AS lang,
+        |         min(n_words) AS n_words
+        |  FROM staged GROUP BY norm)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS token_budget
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, sh FROM (
