@@ -323,7 +323,31 @@ object Relational {
       .orderBy("op", "o_custkey")
   }
 
+  // ---------------------------------------------------------------- B20+
+  /** Pivot: long→wide conditional aggregation (compiles to one hash agg
+    * with a CASE per pivot value — no extra shuffle vs plain groupBy). */
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------- B50
+  /** Generator: posexplode of tokenized text → (doc, position, token)
+    * rows; the built-in generator family (explode/posexplode/inline)
+    * covers the reference-free UDTF surface. */
+  def genPosexplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot"      -> (aggPivot(_, _)),
+    "gen_posexplode" -> (genPosexplode(_, _)),
     "proj_basic"     -> (projBasic(_, _)),
     "filter_pred"    -> (filterPred(_, _)),
     "join_inner"     -> (joinInner(_, _)),
@@ -350,6 +374,16 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "gen_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 20),
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+        |ORDER BY doc_id, pos""".stripMargin,
     "proj_basic" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price
