@@ -26,7 +26,7 @@ object SqlQueries {
   def q3(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)
     s.sql(
-      """SELECT o_orderkey,
+      """SELECT /*+ BROADCAST(customer) */ o_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority

@@ -261,6 +261,9 @@ object TextOps {
       .filter(col("n_words") >= 30 &&
         col("n_distinct").cast("double") / col("n_words") >= 0.2)
     staged
+      // dedup key = 256-bit content hash, NOT the text: the shuffle moves
+      // 32-byte keys instead of documents (the B43 discipline)
+      .withColumn("norm", sha2(col("norm"), 256))
       .groupBy("norm")
       // min, not first: keeps the group representative deterministic even
       // when identical normalized texts span languages
@@ -360,7 +363,7 @@ object TextOps {
         |deduped AS (
         |  SELECT min(doc_id) AS keep_id, min(lang) AS lang,
         |         min(n_words) AS n_words
-        |  FROM staged GROUP BY norm)
+        |  FROM staged GROUP BY sha256(norm))
         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
         |  CAST(SUM(n_words) AS BIGINT) AS token_budget
         |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
