@@ -53,6 +53,7 @@ object NativeExpressions {
       case FloatType => arr.getFloat(i).toDouble
       case LongType => arr.getLong(i).toDouble
       case IntegerType => arr.getInt(i).toDouble
+      case dt: DecimalType => arr.getDecimal(i, dt.precision, dt.scale).toDouble
       case _ => throw new IllegalArgumentException(s"unsupported element type $t")
     }
 
@@ -61,6 +62,8 @@ object NativeExpressions {
       case FloatType => s"(double) $arr.getFloat($i)"
       case LongType => s"(double) $arr.getLong($i)"
       case IntegerType => s"(double) $arr.getInt($i)"
+      case dt: DecimalType =>
+        s"$arr.getDecimal($i, ${dt.precision}, ${dt.scale}).toDouble()"
       case _ => throw new IllegalArgumentException(s"unsupported element type $t")
     }
 

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions installs the native functions at session-build time
+  * (the `spark.sql.extensions` deployment path). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("withExtensions session resolves cosine_sim/hamming_dist in SQL") {
+    val shared = spark // materialize the shared session first
+    // getOrCreate only applies extensions to a NEWLY built session —
+    // clear the default/active pointers so one is actually built (the
+    // JVM-wide SparkContext is reused), then restore the shared session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne shared)
+      val d = s2.sql("SELECT hamming_dist('1010', '1001') AS d")
+        .collect().head.getInt(0)
+      assert(d == 2)
+      val c = s2.sql("SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS c")
+        .collect().head.getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
