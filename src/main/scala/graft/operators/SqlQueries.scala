@@ -62,9 +62,46 @@ object SqlQueries {
         |ORDER BY revenue DESC, n_name""".stripMargin)
   }
 
+  /** Subquery forms: scalar aggregate subquery, IN-subquery, correlated
+    * EXISTS — Catalyst decorrelates all three into joins (RewritePredicateSubquery),
+    * which is what keeps them runnable at 100 TB (no per-row re-execution).
+    */
+  def subqueries(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Null semantics: null-safe equality, NULL-generating expressions,
+    * coalesce-fill, and null-aware counting. */
+  def nullHandling(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """WITH e AS (
+        |  SELECT o_orderkey,
+        |    NULLIF(o_orderstatus, 'P') AS st,      -- injects NULLs
+        |    NULLIF(o_orderpriority, '5-LOW') AS pri
+        |  FROM orders WHERE o_orderkey < 3000)
+        |SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(st) AS BIGINT) AS n_st_nonnull,
+        |  CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_st_null,
+        |  CAST(SUM(CASE WHEN st <=> pri THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+        |  CAST(COUNT(DISTINCT COALESCE(st, 'NONE')) AS BIGINT) AS n_filled
+        |FROM e""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q3" -> (q3(_, _)),
-    "sql_q5" -> (q5(_, _))
+    "sql_q5" -> (q5(_, _)),
+    "sub_queries" -> (subqueries(_, _)),
+    "fn_null" -> (nullHandling(_, _))
   )
 
   def oracles: Map[String, String] = Map(
@@ -96,6 +133,27 @@ object SqlQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "sub_queries" ->
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "fn_null" ->
+      """WITH e AS (
+        |  SELECT o_orderkey,
+        |    NULLIF(o_orderstatus, 'P') AS st,
+        |    NULLIF(o_orderpriority, '5-LOW') AS pri
+        |  FROM orders WHERE o_orderkey < 3000)
+        |SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(st) AS BIGINT) AS n_st_nonnull,
+        |  CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_st_null,
+        |  CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM pri THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+        |  CAST(COUNT(DISTINCT COALESCE(st, 'NONE')) AS BIGINT) AS n_filled
+        |FROM e""".stripMargin
   )
 }
