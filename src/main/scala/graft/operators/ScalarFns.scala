@@ -33,7 +33,11 @@ object ScalarFns {
         regexp_replace(col("o_orderpriority"), "[AEIOU]", "_").as("devowel"),
         lpad(col("o_orderkey").cast("string"), 8, "0").as("okey_pad"),
         col("o_orderpriority").like("%URGENT%").as("is_urgent"),
-        hex(col("o_orderkey")).as("okey_hex"))
+        hex(col("o_orderkey")).as("okey_hex"),
+        // B4 binary encode/decode: payload → base64 → decode round-trip
+        base64(col("o_orderpriority").cast("binary")).as("pri_b64"),
+        unbase64(base64(col("o_orderpriority").cast("binary"))).cast("string")
+          .as("pri_roundtrip"))
       .orderBy("o_orderkey")
 
   // ---------------------------------------------------------------- B32
@@ -149,7 +153,9 @@ object ScalarFns {
         |  regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS devowel,
         |  lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS okey_pad,
         |  o_orderpriority LIKE '%URGENT%' AS is_urgent,
-        |  hex(o_orderkey) AS okey_hex
+        |  hex(o_orderkey) AS okey_hex,
+        |  base64(CAST(o_orderpriority AS BLOB)) AS pri_b64,
+        |  o_orderpriority AS pri_roundtrip
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "fn_datetime" ->
       """SELECT o_orderkey,
