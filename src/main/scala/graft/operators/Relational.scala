@@ -345,9 +345,26 @@ object Relational {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .orderBy("doc_id", "pos")
 
+  // ---------------------------------------------------------------- B49
+  /** Top-k per group via the custom bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): the shuffle carries k pairs per
+    * (group × partition), not the table — vs the window row_number()
+    * form which sorts every group fully (see `win_rank`). */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(graft.functions.TopKAgg
+        .top_k_by(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("st"), posexplode(col("top")).as(Seq("pos", "pair")))
+      .select(col("st"), (col("pos") + 1).as("rank"),
+        col("pair.payload").as("o_orderkey"),
+        col("pair.value").as("price"))
+      .orderBy("st", "rank")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pivot"      -> (aggPivot(_, _)),
     "gen_posexplode" -> (genPosexplode(_, _)),
+    "topk_per_group" -> (topkPerGroup(_, _)),
     "proj_basic"     -> (projBasic(_, _)),
     "filter_pred"    -> (filterPred(_, _)),
     "join_inner"     -> (joinInner(_, _)),
@@ -379,6 +396,14 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_orderstatus AS st, CAST(rn AS INT) AS rank, o_orderkey,
+        |       o_totalprice AS price
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY st, rank""".stripMargin,
     "gen_posexplode" ->
       """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS word
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 20),
