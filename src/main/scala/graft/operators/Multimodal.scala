@@ -74,14 +74,49 @@ object Multimodal {
         col("length"))
       .orderBy("file_name")
 
+  /** Frame sampling: treat each payload as fixed-size 32-byte "frames"
+    * and keep every 4th frame — the Spark-side plumbing (offset math,
+    * per-frame rows, batch shape) of video frame extraction with the
+    * codec stubbed. One explode, no shuffle until the final ordering. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val frameSize = 32
+    val stride = 4
+    assets(s, d)
+      .filter(col("asset_id") < 100)
+      .select(col("asset_id"), col("payload"),
+        floor(col("meta.n_bytes") / frameSize).cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("asset_id"), col("payload"),
+        explode(sequence(lit(0),
+          greatest(expr(s"(n_frames - 1) div $stride"), lit(0)))).as("fidx"))
+      .select(col("asset_id"),
+        (col("fidx") * stride).as("frame_no"),
+        length(col("payload").substr(
+          col("fidx") * stride * frameSize + 1, lit(frameSize))).as("frame_len"))
+      .orderBy("asset_id", "frame_no")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_multimodal"   -> (multimodal(_, _)),
+    "llm_frames"       -> (frameSample(_, _)),
     "source_binaryfile" -> (binaryFiles(_, _))
   )
 
   def oracles: Map[String, String] = Map(
     // metadata plumbing is SQL-expressible; the stub decode contract is
     // covered by MultimodalSpec instead (crc32 not available in DuckDB)
+    "llm_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, text,
+        |    CAST(length(text) // 32 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id < 100 AND length(text) // 32 > 0),
+        |f AS (
+        |  SELECT asset_id, text,
+        |    unnest(generate_series(0, greatest((n_frames - 1) // 4, 0))) AS fidx
+        |  FROM a)
+        |SELECT asset_id, CAST(fidx * 4 AS INT) AS frame_no,
+        |  CAST(length(substring(text, CAST(fidx * 4 * 32 + 1 AS INT), 32)) AS INT) AS frame_len
+        |FROM f ORDER BY asset_id, frame_no""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -46,6 +46,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"), col("n"))
 
+  /** Stream-stream interval join: purchases joined to the signup of the
+    * same user within the preceding hour. Both sides watermarked so the
+    * join state is bounded (Spark buffers each side only until the
+    * watermark passes the interval bound — the only shape that survives
+    * unbounded streams). */
+  def purchasesWithRecentSignup(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   /** B42 stateful dedup on event_id within the watermark — streaming
     * idempotent ingest (the reference's Entry::Vacant gate, A4). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

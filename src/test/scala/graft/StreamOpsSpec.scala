@@ -79,6 +79,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream interval join pairs purchases with in-window signups") {
+    implicit val sq = spark.sqlContext
+    val pm = MemoryStream[Ev]
+    val sm = MemoryStream[Ev]
+    val name = s"out_${System.nanoTime()}"
+    val q = StreamOps.purchasesWithRecentSignup(pm.toDF(), sm.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      sm.addData(Seq(
+        Ev(10, ts(0), 1, "signup", 0),    // in window for purchase @30
+        Ev(11, ts(0), 2, "signup", 0)))   // user 2: purchase too late
+      pm.addData(Seq(
+        Ev(20, ts(30), 1, "purchase", 5), // joins signup @0
+        Ev(21, ts(90), 2, "purchase", 5), // signup 90 min earlier → out of window
+        Ev(22, ts(40), 3, "purchase", 5)))// no signup at all
+      q.processAllAvailable()
+      // advance watermarks far enough to emit all results
+      pm.addData(Seq(Ev(98, ts(600), 9, "purchase", 0)))
+      sm.addData(Seq(Ev(99, ts(600), 9, "signup", 0)))
+      q.processAllAvailable()
+      val joined = spark.table(name).select("p_id").as[Long].collect().toSet
+      assert(joined.contains(20L))
+      assert(!joined.contains(21L) && !joined.contains(22L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
