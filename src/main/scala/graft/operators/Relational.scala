@@ -361,10 +361,63 @@ object Relational {
         col("pair.value").as("price"))
       .orderBy("st", "rank")
 
+  // ---------------------------------------------------------------- B29+
+  /** Paged read: total order + LIMIT/OFFSET (offset pushes into the limit
+    * operator — driver-side pagination without a full materialize). */
+  def limitOffset(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderkey"))
+      .offset(100)
+      .limit(50)
+
+  // ---------------------------------------------------------------- B30+
+  /** Multiset set ops: intersectAll / exceptAll keep duplicate
+    * multiplicities (bag semantics) — distinct plans from the set forms
+    * (RewriteExceptAll / RewriteIntersectAll). */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F").select("o_custkey")
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O").select("o_custkey")
+    val ia = f.intersectAll(o).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val ea = f.exceptAll(o).groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    ia.unionByName(ea).select("op", "o_custkey", "n").orderBy("op", "o_custkey")
+  }
+
+  /** Time-series resample: per-user 4-hour buckets over the full event
+    * span, gaps densified to zero via a sequence join (the distributed
+    * generate_series pattern) — training pipelines need gap-free series
+    * for windowed features. */
+  def tsResample(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+    // grid must align to the epoch-aligned window() buckets: floor the
+    // bounds to 4-hour multiples of the unix epoch (integer arithmetic)
+    val bounds = ev.agg(
+      timestamp_seconds(expr("unix_timestamp(min(ts)) div 14400") * 14400).as("lo"),
+      timestamp_seconds(expr("unix_timestamp(max(ts)) div 14400") * 14400).as("hi"))
+    val grid = bounds.select(explode(sequence(
+        col("lo"), col("hi"), expr("INTERVAL 4 HOURS"))).as("bucket"))
+      .crossJoin(ev.select(col("user_id")).distinct())
+    val actual = ev
+      .groupBy(col("user_id"),
+        window(col("ts"), "4 hours").getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    grid.join(actual, Seq("user_id", "bucket"), "left_outer")
+      .select(col("user_id"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("user_id", "bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pivot"      -> (aggPivot(_, _)),
     "gen_posexplode" -> (genPosexplode(_, _)),
     "topk_per_group" -> (topkPerGroup(_, _)),
+    "limit_offset"   -> (limitOffset(_, _)),
+    "set_ops_all"    -> (setOpsAll(_, _)),
+    "ts_resample"    -> (tsResample(_, _)),
     "proj_basic"     -> (projBasic(_, _)),
     "filter_pred"    -> (filterPred(_, _)),
     "join_inner"     -> (joinInner(_, _)),
@@ -396,6 +449,44 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "set_ops_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'intersect_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM o)
+        |GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'except_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM o)
+        |GROUP BY o_custkey
+        |ORDER BY op, o_custkey""".stripMargin,
+    "ts_resample" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE user_id < 10),
+        |b AS (
+        |  SELECT CAST(to_timestamp((CAST(epoch(min(ts)) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS lo,
+        |         CAST(to_timestamp((CAST(epoch(max(ts)) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS hi
+        |  FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, g.bucket
+        |  FROM (SELECT DISTINCT user_id FROM ev) u,
+        |       (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+        |                                      INTERVAL 4 HOUR)) AS bucket) g),
+        |actual AS (
+        |  SELECT user_id,
+        |    CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT grid.user_id, grid.bucket,
+        |  COALESCE(actual.n, 0) AS n, COALESCE(actual.sum_value, 0.0) AS sum_value
+        |FROM grid LEFT JOIN actual
+        |  ON grid.user_id = actual.user_id AND grid.bucket = actual.bucket
+        |ORDER BY grid.user_id, grid.bucket""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderstatus AS st, CAST(rn AS INT) AS rank, o_orderkey,
         |       o_totalprice AS price

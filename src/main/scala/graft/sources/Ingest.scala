@@ -81,7 +81,12 @@ object Ingest {
         IngestResult(0, deduped, Some(MaxSizeAllocated(existing + incoming, maxSizeOnDisk)))
       } else {
         if (freshCount > 0)
-          fresh.write.mode(SaveMode.Append)
+          // sortWithinPartitions(block_start) at write time: tight parquet
+          // min/max row-group stats per file — the columnar replacement for
+          // the reference's order-preserving big-endian key clustering
+          // (/root/reference/src/rocksdb_storage_engine.rs:180-192)
+          fresh.sortWithinPartitions("dataset_id", "block_start")
+            .write.mode(SaveMode.Append)
             .partitionBy("dataset_id").parquet(catalogPath)
         IngestResult(freshCount, deduped, None)
       }
