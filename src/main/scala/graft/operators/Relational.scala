@@ -411,7 +411,45 @@ object Relational {
       .orderBy("user_id", "bucket")
   }
 
+  /** Unpivot (melt): wide→long inverse of [[aggPivot]] — Expand node,
+    * one pass, no shuffle beyond the source agg. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  /** Percentile aggregates: exact interpolated percentiles (sort-based —
+    * at 100 TB prefer the approx_percentile sketch alongside). */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** Sketch percentiles: mergeable, bounded-memory — the 100 TB path
+    * (rows-only: sketch estimates are not oracle-reproducible). */
+  def aggPercentileApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_unpivot"    -> (aggUnpivot(_, _)),
+    "agg_percentile" -> (aggPercentile(_, _)),
+    "agg_percentile_approx" -> (aggPercentileApprox(_, _)),
     "agg_pivot"      -> (aggPivot(_, _)),
     "gen_posexplode" -> (genPosexplode(_, _)),
     "topk_per_group" -> (topkPerGroup(_, _)),
@@ -448,6 +486,22 @@ object Relational {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_quantity, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
