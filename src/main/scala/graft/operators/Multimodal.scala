@@ -96,6 +96,32 @@ object Multimodal {
       .orderBy("asset_id", "frame_no")
   }
 
+  /** Batched decode contract — the Scala analog of a pandas-UDF
+    * `mapInPandas` decode: rows stream through mapPartitions in
+    * fixed-size batches (the shape a vectorized codec / model-inference
+    * library wants), each batch "decoded" at once. The codec itself is
+    * the [[stubDecode]]-equivalent STUB (no media libs in this
+    * container); the partitioning, batch grouping, and output schema are
+    * the real contract. */
+  final case class DecodedAsset(assetId: Long, mime: String, featNorm: Double)
+  def decodeBatched(s: SparkSession, d: String, batchSize: Int = 64):
+      org.apache.spark.sql.Dataset[DecodedAsset] = {
+    import s.implicits._
+    assets(s, d)
+      .select(col("asset_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // STUB batch decode: a real impl hands `batch.map(_._2)` to a
+          // vectorized codec in one call; here: deterministic per-byte sum
+          batch.map { case (id, payload, mime) =>
+            val checksum = payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 997)
+            DecodedAsset(id, mime, checksum / 997.0)
+          }
+        }
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_multimodal"   -> (multimodal(_, _)),
     "llm_frames"       -> (frameSample(_, _)),

@@ -39,6 +39,28 @@ class MultimodalSpec extends SparkSpec {
     assert(scan.contains("ReadSchema"))
   }
 
+  test("batched decode: every asset decoded once, deterministic, batch-size independent") {
+    val a = Multimodal.decodeBatched(spark, sf, batchSize = 64).collect()
+      .map(r => r.assetId -> r.featNorm).toMap
+    val b = Multimodal.decodeBatched(spark, sf, batchSize = 7).collect()
+      .map(r => r.assetId -> r.featNorm).toMap
+    assert(a == b) // batch grouping must not change results
+    assert(a.size == Tables.documents(spark, sf).count())
+    assert(a.values.forall(v => v >= 0.0 && v < 1.0))
+  }
+
+  test("corrupt JSON records surface in PERMISSIVE mode instead of failing the job") {
+    import spark.implicits._
+    val raw = Seq("""{"k": 1}""", """{"k": broken""", """{"k": 3}""")
+      .toDF("props")
+    val parsed = raw.select(
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("j"))
+    val ks = parsed.select($"j.k").as[Option[Int]].collect()
+    // PERMISSIVE (default): malformed row → null struct, job completes
+    assert(ks.count(_.isDefined) == 2 && ks.count(_.isEmpty) == 1)
+  }
+
   test("binaryFile source lists the lake directory deterministically") {
     val rows = Multimodal.binaryFiles(spark, sf)
       .as[(String, Long)].collect()
