@@ -263,6 +263,22 @@ object Relational {
       .orderBy("l_returnflag", "rn")
   }
 
+  // ---------------------------------------------------------------- B25+
+  /** Distribution window functions: percent_rank / cume_dist / nth_value
+    * over a total per-partition order. */
+  def winDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("nth", nth_value(col("o_orderkey"), 3).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("o_orderstatus", "o_orderkey", "pr", "cd", "nth")
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   // ---------------------------------------------------------------- B26
   /** Analytic window functions: lag/lead per customer order history. */
   def winAnalytic(s: SparkSession, d: String): DataFrame = {
@@ -447,6 +463,7 @@ object Relational {
       .orderBy("l_returnflag")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_dist"       -> (winDist(_, _)),
     "agg_unpivot"    -> (aggUnpivot(_, _)),
     "agg_percentile" -> (aggPercentile(_, _)),
     "agg_percentile_approx" -> (aggPercentileApprox(_, _)),
@@ -487,6 +504,16 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "win_dist" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "agg_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,

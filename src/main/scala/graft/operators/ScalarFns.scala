@@ -131,7 +131,42 @@ object ScalarFns {
         to_json(struct(col("event_type").as("t"))).as("rejson"))
       .orderBy("event_id")
 
+  /** Second string family: translate / repeat / reverse / position /
+    * left-right / contains / prefix / split_part. */
+  def fnString2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        translate(col("o_orderpriority"), "-", "_").as("translated"),
+        repeat(col("o_orderstatus"), 3).as("repeated"),
+        reverse(col("o_orderpriority")).as("reversed"),
+        instr(col("o_orderpriority"), "-").as("dash_pos"),
+        substring(col("o_orderpriority"), 1, 3).as("left3"),
+        col("o_orderpriority").contains("URGENT").as("has_urgent"),
+        col("o_orderpriority").startsWith("1").as("is_one"),
+        col("o_orderpriority").endsWith("LOW").as("is_low"),
+        split(col("o_orderpriority"), "-").getItem(1).as("pri_word"))
+      .orderBy("o_orderkey")
+
+  /** Second datetime family: add_months / quarter / dayofweek (aligned
+    * across engines) / last-of-week / formatted month. */
+  def fnDatetime2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+        quarter(col("o_orderdate")).as("q"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow0"), // 0=Sunday in both
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        trunc(to_date(col("o_orderdate")), "month").as("month_start"),
+        dayofyear(col("o_orderdate")).as("doy"))
+      .orderBy("o_orderkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string2"  -> (fnString2(_, _)),
+    "fn_datetime2" -> (fnDatetime2(_, _)),
     "fn_string"   -> (fnString(_, _)),
     "fn_datetime" -> (fnDatetime(_, _)),
     "fn_math"     -> (fnMath(_, _)),
@@ -142,6 +177,27 @@ object ScalarFns {
   )
 
   def oracles: Map[String, String] = Map(
+    "fn_string2" ->
+      """SELECT o_orderkey,
+        |  translate(o_orderpriority, '-', '_') AS translated,
+        |  repeat(o_orderstatus, 3) AS repeated,
+        |  reverse(o_orderpriority) AS reversed,
+        |  CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos,
+        |  substring(o_orderpriority, 1, 3) AS left3,
+        |  contains(o_orderpriority, 'URGENT') AS has_urgent,
+        |  starts_with(o_orderpriority, '1') AS is_one,
+        |  o_orderpriority LIKE '%LOW' AS is_low,
+        |  split_part(o_orderpriority, '-', 2) AS pri_word
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "fn_datetime2" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow0,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "fn_string" ->
       """SELECT o_orderkey,
         |  lower(o_orderpriority) AS lo, upper(o_orderstatus) AS up,
