@@ -64,6 +64,41 @@ class ScaleSpec extends SparkSpec {
       s"expected bucket-co-located join, got shuffles:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // 90% of the left side lands on one key → one fat shuffle partition
+      val left = spark.range(0, 100000)
+        .select(when($"id" % 10 === 0, $"id" % 50).otherwise(0L).as("k"),
+          ($"id" * 7).as("payload"))
+      val right = spark.range(0, 50).select($"id".as("k"), ($"id" + 100).as("r"))
+      // no aggregation on the join key downstream: a consumer requiring
+      // hash distribution on k would make skew-splitting ineligible
+      val joined = left.join(right, "k").select(sum("payload").as("s"))
+      // execute THIS dataframe's own queryExecution so its adaptive plan
+      // finalizes (count()/write would plan a separate query)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ingest catalog partition layout prunes on dataset_id") {
     val path = Files.createTempDirectory("graft_cat").resolve("cat").toString
     val batch = Seq(
