@@ -276,7 +276,48 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Corpus bigram statistics: top-5 bigrams per language by frequency —
+    * the n-gram LM profile builder (explode → count → bounded top-k per
+    * group via window on the already-aggregated counts). */
+  def bigrams(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(shingles(col("text"), 2)).as("bigram"))
+      .groupBy("lang", "bigram")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "bigram", "n")
+      .orderBy("lang", "rank")
+  }
+
+  /** Train/eval decontamination: eval docs (odd doc_id) sharing too many
+    * 3-gram shingles with any train doc (even doc_id). The inverted-index
+    * join on shingles is the scalable form — candidate pairs only where a
+    * shingle collides, never eval × train. Flags evals whose max overlap
+    * with a single train doc ≥ 5 distinct shingles. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+    val train = sh.filter(col("doc_id") % 2 === 0)
+      .withColumnRenamed("doc_id", "train_id")
+    val eval_ = sh.filter(col("doc_id") % 2 === 1)
+      .withColumnRenamed("doc_id", "eval_id")
+    eval_.join(train, "sh")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy("eval_id")
+      .agg(max("n_shared").as("max_overlap"),
+        count(lit(1)).as("n_train_hits"))
+      .filter(col("max_overlap") >= 5)
+      .orderBy("eval_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bigrams"       -> (bigrams(_, _)),
+    "llm_contamination" -> (contamination(_, _)),
     "llm_dedup_exact"   -> (dedupExact(_, _)),
     "llm_text_stats"    -> (textStats(_, _)),
     "llm_lang_id"       -> (langId(_, _)),
@@ -343,6 +384,40 @@ object TextOps {
         |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_bigrams" ->
+      """WITH bg AS (
+        |  SELECT lang,
+        |    array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ') AS bigram
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1))) AS i)),
+        |counts AS (
+        |  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM bg WHERE length(bigram) > 0 GROUP BY lang, bigram),
+        |ranked AS (
+        |  SELECT lang, bigram, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+        |  FROM counts)
+        |SELECT lang, CAST(rank AS INT) AS rank, bigram, n
+        |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "llm_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+        |    WHERE doc_id < 200)
+        |  WHERE length(sh) > 0),
+        |pairs AS (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM sh e JOIN sh t ON e.sh = t.sh
+        |  WHERE e.doc_id % 2 = 1 AND t.doc_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT eval_id, MAX(n_shared) AS max_overlap,
+        |  CAST(COUNT(*) AS BIGINT) AS n_train_hits
+        |FROM pairs GROUP BY eval_id
+        |HAVING MAX(n_shared) >= 5 ORDER BY eval_id""".stripMargin,
     "llm_normalize" ->
       """SELECT doc_id,
         |  substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
