@@ -141,13 +141,14 @@ object TextOps {
   }
 
   /** k-word shingles of a text column as an array column (codegen'd:
-    * transform over index range + slice/join — no UDF). */
+    * transform over index range + slice/join — no UDF). Texts shorter
+    * than k words yield NO shingles (a 1-word doc is not a bigram). */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))),
-      sh => length(sh) > 0)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature + LSH banding near-dup candidates (the 100 TB
@@ -277,8 +278,10 @@ object TextOps {
   }
 
   /** Corpus bigram statistics: top-5 bigrams per language by frequency —
-    * the n-gram LM profile builder (explode → count → bounded top-k per
-    * group via window on the already-aggregated counts). */
+    * the n-gram LM profile builder. The row_number window runs over the
+    * already-aggregated (lang, bigram) counts — vocabulary-sized, not
+    * corpus-sized; for an unbounded vocabulary swap in
+    * [[graft.functions.TopKAgg]] with a hashed payload. */
   def bigrams(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.documents(s, d)
       .select(col("lang"), explode(shingles(col("text"), 2)).as("bigram"))
@@ -296,9 +299,10 @@ object TextOps {
     * 3-gram shingles with any train doc (even doc_id). The inverted-index
     * join on shingles is the scalable form — candidate pairs only where a
     * shingle collides, never eval × train. Flags evals whose max overlap
-    * with a single train doc ≥ 5 distinct shingles. */
+    * with a single train doc ≥ 3 distinct shingles (constants chosen to
+    * be non-vacuous at every testdata scale factor). */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), 3))).as("sh"))
     val train = sh.filter(col("doc_id") % 2 === 0)
@@ -311,7 +315,7 @@ object TextOps {
       .groupBy("eval_id")
       .agg(max("n_shared").as("max_overlap"),
         count(lit(1)).as("n_train_hits"))
-      .filter(col("max_overlap") >= 5)
+      .filter(col("max_overlap") >= 3)
       .orderBy("eval_id")
   }
 
@@ -389,7 +393,7 @@ object TextOps {
         |  SELECT lang,
         |    array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ') AS bigram
         |  FROM documents,
-        |    LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1))) AS i)),
+        |    LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i)),
         |counts AS (
         |  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM bg WHERE length(bigram) > 0 GROUP BY lang, bigram),
@@ -405,8 +409,8 @@ object TextOps {
         |    SELECT doc_id,
         |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
         |    FROM documents,
-        |      LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
-        |    WHERE doc_id < 200)
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 400)
         |  WHERE length(sh) > 0),
         |pairs AS (
         |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
@@ -417,7 +421,7 @@ object TextOps {
         |SELECT eval_id, MAX(n_shared) AS max_overlap,
         |  CAST(COUNT(*) AS BIGINT) AS n_train_hits
         |FROM pairs GROUP BY eval_id
-        |HAVING MAX(n_shared) >= 5 ORDER BY eval_id""".stripMargin,
+        |HAVING MAX(n_shared) >= 3 ORDER BY eval_id""".stripMargin,
     "llm_normalize" ->
       """SELECT doc_id,
         |  substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -448,7 +452,7 @@ object TextOps {
         |    SELECT doc_id,
         |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
         |    FROM documents,
-        |      LATERAL (SELECT unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i)
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
         |    WHERE doc_id < 150)
         |  WHERE length(sh) > 0),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

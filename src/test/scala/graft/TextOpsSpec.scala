@@ -15,11 +15,11 @@ class TextOpsSpec extends SparkSpec {
     assert(sh == Seq("a b c", "b c d", "c d e"))
   }
 
-  test("shingles: text shorter than k yields the whole text") {
+  test("shingles: text shorter than k yields no shingles") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     val sh = df.select(TextOps.shingles(col("text"), 3).as("sh"))
       .as[Seq[String]].head
-    assert(sh == Seq("a b"))
+    assert(sh.isEmpty) // a 2-word doc is not a 3-gram
   }
 
   test("minhash candidates: identical docs always collide; disjoint docs never") {
