@@ -74,13 +74,15 @@ object NativeExpressions {
         val dot = ctx.freshName("dot")
         val na = ctx.freshName("na")
         val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0, $na = 0.0, $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double x = ${getter(elemType(left), a, i)};
-           |  double y = ${getter(elemType(right), b, i)};
-           |  $dot += x * y; $na += x * x; $nb += y * y;
+           |  double $x = ${getter(elemType(left), a, i)};
+           |  double $y = ${getter(elemType(right), b, i)};
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
            |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin

@@ -22,6 +22,8 @@ object VectorAggregators {
     override def zero: VecBuf = VecBuf(Array.empty, 0L)
 
     override def reduce(b: VecBuf, v: Seq[Float]): VecBuf = {
+      if (v.isEmpty) return b // empty vector: no dimension, no count —
+                              // keeps sum.isEmpty <=> n == 0 for merge
       if (b.sum.isEmpty) b.sum = new Array[Double](v.length)
       var i = 0
       while (i < v.length && i < b.sum.length) { b.sum(i) += v(i); i += 1 }

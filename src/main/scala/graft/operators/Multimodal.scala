@@ -37,7 +37,7 @@ object Multimodal {
           when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
             .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
             .otherwise("video/mp4").as("mime"),
-          length(col("text")).cast("long").as("n_bytes"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
           (pmod(col("doc_id"), lit(4)) * 90).cast("int").as("rotation"))
           .as("meta"))
 
@@ -134,8 +134,8 @@ object Multimodal {
     "llm_frames" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id, text,
-        |    CAST(length(text) // 32 AS INT) AS n_frames
-        |  FROM documents WHERE doc_id < 100 AND length(text) // 32 > 0),
+        |    CAST(octet_length(CAST(text AS BLOB)) // 32 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id < 100 AND octet_length(CAST(text AS BLOB)) // 32 > 0),
         |f AS (
         |  SELECT asset_id, text,
         |    unnest(generate_series(0, greatest((n_frames - 1) // 4, 0))) AS fidx
@@ -148,10 +148,10 @@ object Multimodal {
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS mime,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  CAST((doc_id % 4) * 90 AS INT) AS rotation,
         |  8 AS feat_dim
-        |FROM documents WHERE length(text) > 50
+        |FROM documents WHERE octet_length(CAST(text AS BLOB)) > 50
         |ORDER BY asset_id""".stripMargin
   )
 }

@@ -237,8 +237,10 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        // 1e9 multiplier keeps the ordering value injective for partkey
+        // < 1e9 (TPC-H sf ~2500); beyond that switch to a struct ordering
         max_by(col("l_partkey"),
-          (col("l_orderkey") * 8 + col("l_linenumber")) * 10000000L + col("l_partkey")).as("last_part"),
+          (col("l_orderkey") * 8 + col("l_linenumber")) * 1000000000L + col("l_partkey")).as("last_part"),
         min(struct(col("l_orderkey"), col("l_linenumber"))).getField("l_orderkey").as("first_okey"))
       .orderBy("l_returnflag")
 
@@ -677,7 +679,7 @@ object Relational {
         |  (SELECT string_agg(ls, ',' ORDER BY ls) FROM
         |    (SELECT DISTINCT l_linestatus AS ls FROM lineitem li2
         |     WHERE li2.l_returnflag = li.l_returnflag)) AS statuses,
-        |  arg_max(l_partkey, (l_orderkey * 8 + l_linenumber) * 10000000 + l_partkey) AS last_part,
+        |  arg_max(l_partkey, (l_orderkey * 8 + l_linenumber) * 1000000000 + l_partkey) AS last_part,
         |  min(l_orderkey) AS first_okey
         |FROM lineitem li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "win_rank" ->

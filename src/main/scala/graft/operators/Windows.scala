@@ -80,8 +80,8 @@ object Windows {
         | AND CAST(e.ts AS TIMESTAMP) < s.ws + INTERVAL 1 HOUR
         |GROUP BY ws ORDER BY ws""".stripMargin,
     "stream_session" ->
-      """WITH flagged AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              >= INTERVAL 30 MINUTE
@@ -89,7 +89,7 @@ object Windows {
         |  FROM events WHERE user_id < 30),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL 30 MINUTE AS we,

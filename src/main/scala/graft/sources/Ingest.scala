@@ -68,7 +68,10 @@ object Ingest {
     val fresh = batch
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("chunk_id").orderBy("dataset_id", "block_start")))
+          .partitionBy("chunk_id")
+          // order by every column so the kept row is deterministic even
+          // when a batch re-sends a chunk_id with corrected fields
+          .orderBy("dataset_id", "block_start", "block_end", "size_bytes")))
       .filter(col("rn") === 1).drop("rn")
       .join(catalog.select("chunk_id"), Seq("chunk_id"), "left_anti")
       .cache()
@@ -111,12 +114,18 @@ object Ingest {
     val tmp = catalogPath + "_rewrite"
     remaining.write.mode(SaveMode.Overwrite).partitionBy("dataset_id").parquet(tmp)
     val fs = new java.io.File(catalogPath)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    def rm(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.forall(rm) && f.delete()
     }
-    rm(fs)
-    new java.io.File(tmp).renameTo(fs)
+    // fail loudly rather than silently destroying the catalog: a partial
+    // delete or failed rename must not masquerade as success
+    if (!rm(fs))
+      throw new IllegalStateException(
+        s"deleteChunk: could not clear $catalogPath; rewrite left at $tmp")
+    if (!new java.io.File(tmp).renameTo(fs))
+      throw new IllegalStateException(
+        s"deleteChunk: rename $tmp -> $catalogPath failed; rewrite left at $tmp")
     n
   }
 }

@@ -79,8 +79,11 @@ object StreamOps {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[UserStat]) =>
           val batch = rows.toSeq
           val prev = state.getOption.getOrElse(UserStat(uid, 0L, batch.head._2))
+          // last-seen must never regress when a late batch arrives
+          val batchMax = batch.map(_._2).maxBy(_.getTime)
           val next = UserStat(uid, prev.nEvents + batch.size,
-            batch.map(_._2).maxBy(_.getTime))
+            if (batchMax.getTime > prev.lastTs.getTime || prev.nEvents == 0) batchMax
+            else prev.lastTs)
           state.update(next)
           next
       }
