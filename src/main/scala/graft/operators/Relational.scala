@@ -464,7 +464,40 @@ object Relational {
         expr("percentile(l_quantity, 0.5)").as("p50_exact"))
       .orderBy("l_returnflag")
 
+  /** Data profiling: per-column null/distinct/min/max stats for `orders`
+    * in ONE scan (all aggregates in a single HashAggregate, stacked to
+    * long form with the `stack` generator). Min/max stringified through
+    * deterministic casts (ints, decimals, dates) — never raw doubles. */
+  def profileTable(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        count(when(col("o_orderkey").isNull, 1)).as("k_nulls"),
+        countDistinct(col("o_orderkey")).as("k_nd"),
+        min(col("o_orderkey")).cast("string").as("k_min"),
+        max(col("o_orderkey")).cast("string").as("k_max"),
+        count(when(col("o_orderstatus").isNull, 1)).as("s_nulls"),
+        countDistinct(col("o_orderstatus")).as("s_nd"),
+        min(col("o_orderstatus")).as("s_min"),
+        max(col("o_orderstatus")).as("s_max"),
+        count(when(col("o_totalprice").isNull, 1)).as("p_nulls"),
+        countDistinct(col("o_totalprice")).as("p_nd"),
+        min(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("p_min"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("p_max"),
+        count(when(col("o_orderdate").isNull, 1)).as("d_nulls"),
+        countDistinct(col("o_orderdate")).as("d_nd"),
+        min(col("o_orderdate").cast("date")).cast("string").as("d_min"),
+        max(col("o_orderdate").cast("date")).cast("string").as("d_max"))
+      .selectExpr(
+        """stack(4,
+          |  'o_orderkey', k_nulls, k_nd, k_min, k_max,
+          |  'o_orderstatus', s_nulls, s_nd, s_min, s_max,
+          |  'o_totalprice', p_nulls, p_nd, p_min, p_max,
+          |  'o_orderdate', d_nulls, d_nd, d_min, d_max
+          |) AS (col_name, n_nulls, n_distinct, min_str, max_str)""".stripMargin)
+      .orderBy("col_name")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_table"  -> (profileTable(_, _)),
     "win_dist"       -> (winDist(_, _)),
     "agg_unpivot"    -> (aggUnpivot(_, _)),
     "agg_percentile" -> (aggPercentile(_, _)),
@@ -506,6 +539,30 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "profile_table" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS k_nulls,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_nd,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+        |    CAST(COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT) AS s_nulls,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_nd,
+        |    MIN(o_orderstatus) AS s_min, MAX(o_orderstatus) AS s_max,
+        |    CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT) AS p_nulls,
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS p_nd,
+        |    CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS p_min,
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS p_max,
+        |    CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT) AS d_nulls,
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_nd,
+        |    CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS d_min,
+        |    CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS d_max
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, k_nulls AS n_nulls, k_nd AS n_distinct, k_min AS min_str, k_max AS max_str FROM m
+        |UNION ALL SELECT 'o_orderstatus', s_nulls, s_nd, s_min, s_max FROM m
+        |UNION ALL SELECT 'o_totalprice', p_nulls, p_nd, p_min, p_max FROM m
+        |UNION ALL SELECT 'o_orderdate', d_nulls, d_nd, d_min, d_max FROM m
+        |ORDER BY col_name""".stripMargin,
     "win_dist" ->
       """SELECT o_orderstatus, o_orderkey,
         |  round(percent_rank() OVER w, 6) AS pr,
