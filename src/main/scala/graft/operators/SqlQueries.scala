@@ -97,7 +97,30 @@ object SqlQueries {
         |FROM e""".stripMargin)
   }
 
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by year —
+    * a 6-table join where both nation sides broadcast and the year is
+    * derived in the aggregate key. */
+  def q7(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q7" -> (q7(_, _)),
     "sql_q3" -> (q3(_, _)),
     "sql_q5" -> (q5(_, _)),
     "sub_queries" -> (subqueries(_, _)),
@@ -134,6 +157,21 @@ object SqlQueries {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "sql_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "sub_queries" ->
       """SELECT o_orderkey, o_orderstatus
         |FROM orders

@@ -79,6 +79,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sliding stream counts equal the batch sliding-window result") {
+    val evs = (0 until 90).map(i =>
+      Ev(i.toLong, ts(i * 3), i % 4, "click", 1.0))
+    val got = runStream(df => StreamOps.slidingCounts(df), "complete",
+      Seq(evs.take(45), evs.drop(45)))
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val want = evs.toDF()
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("stream-stream interval join pairs purchases with in-window signups") {
     implicit val sq = spark.sqlContext
     val pm = MemoryStream[Ev]
