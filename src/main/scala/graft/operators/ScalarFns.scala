@@ -164,7 +164,27 @@ object ScalarFns {
         dayofyear(col("o_orderdate")).as("doy"))
       .orderBy("o_orderkey")
 
+  /** Bitwise + misc scalar functions — all exact integer arithmetic
+    * (identical across engines by construction). */
+  def fnBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("and255"),
+        col("o_orderkey").bitwiseOR(16).as("or16"),
+        col("o_orderkey").bitwiseXOR(85).as("xor85"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 1).as("shr1"),
+        bitwise_not(col("o_orderkey")).as("notk"),
+        greatest(col("o_orderkey") % 7, col("o_orderkey") % 11).as("gr"),
+        least(col("o_orderkey") % 7, col("o_orderkey") % 11).as("ls"),
+        signum(col("o_orderkey") - 250).cast("int").as("sgn"),
+        bit_count(col("o_orderkey")).as("popcnt"))
+      .orderBy("o_orderkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise"  -> (fnBitwise(_, _)),
     "fn_string2"  -> (fnString2(_, _)),
     "fn_datetime2" -> (fnDatetime2(_, _)),
     "fn_string"   -> (fnString(_, _)),
@@ -177,6 +197,19 @@ object ScalarFns {
   )
 
   def oracles: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and255,
+        |  o_orderkey | 16 AS or16,
+        |  xor(o_orderkey, 85) AS xor85,
+        |  o_orderkey << 2 AS shl2,
+        |  o_orderkey >> 1 AS shr1,
+        |  ~o_orderkey AS notk,
+        |  greatest(o_orderkey % 7, o_orderkey % 11) AS gr,
+        |  least(o_orderkey % 7, o_orderkey % 11) AS ls,
+        |  CAST(sign(o_orderkey - 250) AS INT) AS sgn,
+        |  CAST(bit_count(o_orderkey) AS INT) AS popcnt
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "fn_string2" ->
       """SELECT o_orderkey,
         |  translate(o_orderpriority, '-', '_') AS translated,

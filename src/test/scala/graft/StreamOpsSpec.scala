@@ -119,6 +119,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream with a batch dim table") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dims = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("user_id", "tier") // static side: read once, joined per batch
+    val name = s"out_${System.nanoTime()}"
+    val q = mem.toDF().join(dims, Seq("user_id"), "left_outer")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(Seq(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 9, "click", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).contains("silver"))
+      assert(rows(2L).isEmpty) // unknown user: left join keeps the event
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
