@@ -119,7 +119,21 @@ object SqlQueries {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
 
+  /** FILTER-clause aggregates: per-group conditional aggregation without
+    * self-joins or CASE pyramids (one pass, one shuffle). */
+  def aggFilter(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_all,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_totalprice > 1000) AS DOUBLE) AS big_total,
+        |  CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE year(o_orderdate) = 1997) AS BIGINT) AS cust_97
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_filter" -> (aggFilter(_, _)),
     "sql_q7" -> (q7(_, _)),
     "sql_q3" -> (q3(_, _)),
     "sql_q5" -> (q5(_, _)),
@@ -128,6 +142,13 @@ object SqlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "agg_filter" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_all,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_totalprice > 1000) AS DOUBLE) AS big_total,
+        |  CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE year(o_orderdate) = 1997) AS BIGINT) AS cust_97
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_q3" ->
       """SELECT o_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -105,6 +105,32 @@ object Ingest {
       .filter(col("dataset_id") === datasetId &&
         col("block_start") <= blockNumber && lit(blockNumber) < col("block_end"))
 
+  /** Catalog compaction: rewrite each dataset partition's accumulated
+    * small append files into one sorted file (the small-files problem —
+    * every append job adds files; scans degrade as file count grows).
+    * Atomic directory swap like [[deleteChunk]]; readers on the old
+    * snapshot are unaffected. Returns the row count. */
+  def compact(spark: SparkSession, catalogPath: String): Long = {
+    val cat = readCatalog(spark, catalogPath)
+    val n = cat.count()
+    val tmp = catalogPath + "_compact"
+    cat.repartition(col("dataset_id"))
+      .sortWithinPartitions("dataset_id", "block_start")
+      .write.mode(SaveMode.Overwrite).partitionBy("dataset_id").parquet(tmp)
+    val fs = new java.io.File(catalogPath)
+    def rm(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.forall(rm) && f.delete()
+    }
+    if (!rm(fs))
+      throw new IllegalStateException(
+        s"compact: could not clear $catalogPath; rewrite left at $tmp")
+    if (!new java.io.File(tmp).renameTo(fs))
+      throw new IllegalStateException(
+        s"compact: rename $tmp -> $catalogPath failed; rewrite left at $tmp")
+    n
+  }
+
   /** A8/A14 delete path: rewrite the catalog without the chunk id —
     * atomic overwrite; concurrent readers keep their snapshot (the
     * drain-readers semantics for free, SURVEY.md §3.3). */

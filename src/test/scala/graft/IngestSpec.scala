@@ -46,6 +46,29 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.readCatalog(spark, path).count() == 1)
   }
 
+  test("compact: many append files collapse, data and lookups unchanged") {
+    val path = tmpCatalog()
+    // 5 separate ingests → ≥5 files under the D1 partition
+    (0 until 5).foreach { i =>
+      Ingest.ingest(spark, path,
+        batch((s"c$i", "D1", i * 100L, i * 100L + 100L, 10L)))
+    }
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles()
+    assert(before >= 5)
+    val n = Ingest.compact(spark, path)
+    assert(n == 5)
+    assert(parquetFiles() < before)
+    assert(Ingest.readCatalog(spark, path).count() == 5)
+    assert(Ingest.findChunk(spark, path, "D1", 250).count() == 1)
+  }
+
   test("find/delete round-trip: delete drains the chunk from lookups") {
     val path = tmpCatalog()
     Ingest.ingest(spark, path,
