@@ -115,6 +115,29 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Pre-normalized corpus search — the repeated-query optimization: unit-
+    * normalize every vector ONCE (a materialized corpus transform at
+    * scale), after which top-k cosine is a pure dot product per query.
+    * Rows-only (normalize-then-dot is not bit-identical to the fused
+    * cosine; VectorOpsSpec asserts rank agreement with brute force). */
+  def simSearchPrenorm(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val unit = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
+        .as("u"))
+    val queries = unit.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("u").as("q"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    unit.filter(col("vec_id") >= 3)
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("q"), col("u")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label centroid via the typed [[graft.functions.VectorAggregators.Centroid]]
     * aggregator (B49): mergeable map-side buffers; output rounded (merge
     * order makes the last ulp partition-dependent → rows-only check). */
@@ -149,7 +172,8 @@ object VectorOps {
     "llm_ann_ivf"       -> (annIvf(_, _)),
     "llm_embed_neardup" -> (embedNearDup(_, _)),
     "llm_embed_stats"   -> (embedStats(_, _)),
-    "llm_centroid"      -> (labelCentroids(_, _))
+    "llm_centroid"      -> (labelCentroids(_, _)),
+    "llm_sim_prenorm"   -> (simSearchPrenorm(_, _))
   )
 
   def oracles: Map[String, String] = Map(

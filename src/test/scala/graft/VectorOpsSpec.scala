@@ -45,6 +45,28 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("pre-normalized search returns the same neighbors as brute force") {
+    val bf = VectorOps.simSearch(spark, sf)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val pn = VectorOps.simSearchPrenorm(spark, sf)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(pn == bf) // same ranks despite different float paths
+  }
+
+  test("observe: inline metrics fire with the action (data-quality hooks)") {
+    val obs = new org.apache.spark.sql.Observation("emb_stats")
+    Tables.embeddings(spark, sf)
+      .observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.size(col("embedding"))).as("min_dim"))
+      .filter(col("vec_id") >= 0).count()
+    val m = obs.get
+    assert(m("n").asInstanceOf[Long] == Tables.embeddings(spark, sf).count())
+    assert(m("min_dim").asInstanceOf[Int] == 64)
+  }
+
   test("IVF ANN recall@5 vs brute force ≥ 0.4 with 2/8 cells probed") {
     val bf = VectorOps.simSearch(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
