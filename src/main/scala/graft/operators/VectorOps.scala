@@ -122,9 +122,12 @@ object VectorOps {
     * cosine; VectorOpsSpec asserts rank agreement with brute force). */
   def simSearchPrenorm(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val unit = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
-        .as("u"))
+    // materialize the norm once per row — norm() inside the transform
+    // lambda would re-run the full reduction per ELEMENT (64× the work)
+    val unit = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
     val queries = unit.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("u").as("q"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
