@@ -122,9 +122,32 @@ object Multimodal {
       }
   }
 
+  /** Resize plumbing: strided downsample of the payload (every 4th byte)
+    * plus the target-dimension metadata arithmetic — the offset/shape
+    * math of an image resize with the pixel kernel stubbed. Exact
+    * integer output → oracle-able. */
+  def resize(s: SparkSession, d: String): DataFrame = {
+    val stride = 4
+    assets(s, d)
+      .filter(col("asset_id") < 200)
+      .select(
+        col("asset_id"),
+        col("meta.n_bytes").as("orig_bytes"),
+        // ceil-div: bytes kept by an every-stride-th sample
+        floor((col("meta.n_bytes") + stride - 1) / stride).cast("long").as("resized_bytes"),
+        (col("meta.n_bytes") * 3).cast("long").as("est_rgb_bytes"),
+        when(col("meta.rotation").isin(90, 270),
+          concat_ws("x", lit(32), floor(col("meta.n_bytes") / 32).cast("long")))
+          .otherwise(
+            concat_ws("x", floor(col("meta.n_bytes") / 32).cast("long"), lit(32)))
+          .as("target_shape"))
+      .orderBy("asset_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_multimodal"   -> (multimodal(_, _)),
     "llm_frames"       -> (frameSample(_, _)),
+    "llm_resize"       -> (resize(_, _)),
     "source_binaryfile" -> (binaryFiles(_, _))
   )
 
@@ -143,6 +166,16 @@ object Multimodal {
         |SELECT asset_id, CAST(fidx * 4 AS INT) AS frame_no,
         |  CAST(length(substring(text, CAST(fidx * 4 * 32 + 1 AS INT), 32)) AS INT) AS frame_len
         |FROM f ORDER BY asset_id, frame_no""".stripMargin,
+    "llm_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS orig_bytes,
+        |  CAST((octet_length(CAST(text AS BLOB)) + 3) // 4 AS BIGINT) AS resized_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) * 3 AS BIGINT) AS est_rgb_bytes,
+        |  CASE WHEN (doc_id % 4) * 90 IN (90, 270)
+        |       THEN '32x' || CAST(octet_length(CAST(text AS BLOB)) // 32 AS VARCHAR)
+        |       ELSE CAST(octet_length(CAST(text AS BLOB)) // 32 AS VARCHAR) || 'x32'
+        |  END AS target_shape
+        |FROM documents WHERE doc_id < 200 ORDER BY asset_id""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -86,6 +86,17 @@ class PlanSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query-name collisions across operator modules") {
+    val modules: Seq[Map[String, Any]] = Seq(
+      ChunkCatalog.queries, Relational.queries, ScalarFns.queries,
+      Windows.queries, TextOps.queries, VectorOps.queries,
+      Multimodal.queries, SqlQueries.queries)
+    val total = modules.map(_.size).sum
+    // Map ++ silently shadows duplicates — a collision would drop a query
+    assert(SparkEntry.queries.size == total,
+      s"merged=${SparkEntry.queries.size} sum=$total — duplicate names")
+  }
+
   test("every declared oracle key has a matching query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
