@@ -183,7 +183,28 @@ object ScalarFns {
         bit_count(col("o_orderkey")).as("popcnt"))
       .orderBy("o_orderkey")
 
+  /** Array set algebra over the two halves of each document's token
+    * stream: union/intersect/except/overlap via Spark's array set
+    * functions, compared by SIZE (cardinalities are engine-order-proof;
+    * element order of set ops is not). */
+  def fnArraySet(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val h1 = array_distinct(slice(toks, lit(1), (size(toks) / 2).cast("int")))
+    val h2 = array_distinct(slice(toks, (size(toks) / 2 + 1).cast("int"), size(toks)))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(h1).as("nd1"),
+        size(h2).as("nd2"),
+        size(array_union(h1, h2)).as("n_union"),
+        size(array_intersect(h1, h2)).as("n_inter"),
+        size(array_except(h1, h2)).as("n_except"),
+        arrays_overlap(h1, h2).as("overlaps"),
+        size(flatten(array(h1, h2))).as("n_flat"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_array_set" -> (fnArraySet(_, _)),
     "fn_bitwise"  -> (fnBitwise(_, _)),
     "fn_string2"  -> (fnString2(_, _)),
     "fn_datetime2" -> (fnDatetime2(_, _)),
@@ -197,6 +218,24 @@ object ScalarFns {
   )
 
   def oracles: Map[String, String] = Map(
+    "fn_array_set" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) // 2)) AS h1,
+        |    list_distinct(list_slice(string_split(text, ' '),
+        |      len(string_split(text, ' ')) // 2 + 1,
+        |      len(string_split(text, ' ')))) AS h2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(h1) AS INT) AS nd1,
+        |  CAST(len(h2) AS INT) AS nd2,
+        |  CAST(len(list_distinct(list_concat(h1, h2))) AS INT) AS n_union,
+        |  CAST(len(list_filter(h1, x -> list_contains(h2, x))) AS INT) AS n_inter,
+        |  CAST(len(list_filter(h1, x -> NOT list_contains(h2, x))) AS INT) AS n_except,
+        |  len(list_filter(h1, x -> list_contains(h2, x))) > 0 AS overlaps,
+        |  CAST(len(h1) + len(h2) AS INT) AS n_flat
+        |FROM h ORDER BY doc_id""".stripMargin,
     "fn_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS and255,
