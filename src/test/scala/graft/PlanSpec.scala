@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
       s"merged=${SparkEntry.queries.size} sum=$total — duplicate names")
   }
 
+  test("rows-only queries are exactly the known oracle-inexpressible set") {
+    val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    // hash families / sketches / env-local paths / float-merge outputs —
+    // anything else appearing here means an oracle was accidentally lost
+    assert(rowsOnly == Set(
+      "agg_approx", "agg_percentile_approx", "llm_ann_ivf",
+      "llm_dedup_minhash", "llm_simhash", "llm_simhash_neardup",
+      "llm_centroid", "llm_sim_prenorm", "source_binaryfile"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
   test("every declared oracle key has a matching query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
