@@ -10,15 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink: the full physical plan executes (sorts, projections,
+    // final exchange) with zero write cost — `.count()` would let
+    // Catalyst eliminate sorts and prune every projected column, timing
+    // a scan-and-count instead of the declared query
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // uncounted warm-up: session init, parquet footers, codegen JIT —
     // steady-state throughput is what scales, not first-query setup
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("agg_basic").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("agg_basic").foreach(fn => run(fn(spark, sfDir)))
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { run(fn(spark, sfDir)); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false

@@ -215,18 +215,27 @@ object Relational {
 
   // ---------------------------------------------------------------- B23
   /** Approximate distinct (HLL++) — mergeable across partitions, the
-    * 100 TB answer to COUNT(DISTINCT). No oracle (approximate); scalatest
-    * bounds it against the exact count. */
+    * 100 TB answer to COUNT(DISTINCT). The raw estimates differ per
+    * engine, so the oracle check reduces each engine's OWN estimate to a
+    * within-5% boolean against the exact count (rsd 0.01 / lgK 14 put 5%
+    * at ≥5σ, so the booleans agree deterministically); scalatest
+    * additionally bounds the estimates. */
   def aggApprox(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         // Datasketches HLL: the mergeable-sketch form (hll_union across
         // shards is how 100 TB distinct counts compose); register-max
         // merge is commutative so the estimate is partition-order-stable
-        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("hll_parts"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 14)).as("hll_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(
+        col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
+          .as("hllpp_within_5pct"),
+        (abs(col("hll_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
+          .as("dsk_within_5pct"))
       .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- B24
@@ -454,39 +463,60 @@ object Relational {
         round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
       .orderBy("l_returnflag")
 
-  /** Sketch percentiles: mergeable, bounded-memory — the 100 TB path
-    * (rows-only: sketch estimates are not oracle-reproducible). */
+  /** Sketch percentiles: mergeable, bounded-memory — the 100 TB path.
+    * Raw sketch estimates are not oracle-reproducible (and raw array
+    * columns are not hashable by the driver's check), so the declared
+    * output reduces each engine's OWN estimate to a closeness boolean
+    * against its OWN exact percentile: with accuracy 10000 the rank error
+    * is ~n/10000, so both engines' booleans are deterministically true. */
   def aggPercentileApprox(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
-        expr("percentile(l_quantity, 0.5)").as("p50_exact"))
+        expr("percentile(l_quantity, 0.5)").as("e50"),
+        expr("percentile(l_quantity, 0.9)").as("e90"),
+        expr("percentile(l_quantity, 0.99)").as("e99"))
+      .select(
+        col("l_returnflag"),
+        round(col("e50"), 4).as("p50_exact"),
+        (abs(element_at(col("pcts"), 1) - col("e50")) <= lit(2.0)).as("p50_close"),
+        (abs(element_at(col("pcts"), 2) - col("e90")) <= lit(2.0)).as("p90_close"),
+        (abs(element_at(col("pcts"), 3) - col("e99")) <= lit(2.0)).as("p99_close"))
       .orderBy("l_returnflag")
 
-  /** Data profiling: per-column null/distinct/min/max stats for `orders`
-    * in ONE scan (all aggregates in a single HashAggregate, stacked to
-    * long form with the `stack` generator). Min/max stringified through
-    * deterministic casts (ints, decimals, dates) — never raw doubles. */
-  def profileTable(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .agg(
+  /** Data profiling: per-column null/distinct/min/max stats for `orders`.
+    * The non-distinct stats run in ONE scan; each exact distinct count
+    * runs as its OWN single-column aggregation (column-pruned scan,
+    * map-side partial dedup) cross-joined back onto the 1-row base.
+    * Four countDistincts in one Aggregate would plan an Expand that
+    * multiplies the scan ×4 — the per-column shape reads the same bytes
+    * with no row multiplication and no Expand, and each scan prunes to
+    * exactly one column. (See [[profileTableApprox]] for the one-pass
+    * sketch variant that is the real 100 TB shape.) Min/max stringified
+    * through deterministic casts (ints, decimals, dates) — never raw
+    * doubles. */
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def nd(c: String, as: String): DataFrame =
+      o.select(col(c)).agg(countDistinct(col(c)).as(as))
+    o.agg(
         count(when(col("o_orderkey").isNull, 1)).as("k_nulls"),
-        countDistinct(col("o_orderkey")).as("k_nd"),
         min(col("o_orderkey")).cast("string").as("k_min"),
         max(col("o_orderkey")).cast("string").as("k_max"),
         count(when(col("o_orderstatus").isNull, 1)).as("s_nulls"),
-        countDistinct(col("o_orderstatus")).as("s_nd"),
         min(col("o_orderstatus")).as("s_min"),
         max(col("o_orderstatus")).as("s_max"),
         count(when(col("o_totalprice").isNull, 1)).as("p_nulls"),
-        countDistinct(col("o_totalprice")).as("p_nd"),
         min(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("p_min"),
         max(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("p_max"),
         count(when(col("o_orderdate").isNull, 1)).as("d_nulls"),
-        countDistinct(col("o_orderdate")).as("d_nd"),
         min(col("o_orderdate").cast("date")).cast("string").as("d_min"),
         max(col("o_orderdate").cast("date")).cast("string").as("d_max"))
+      .crossJoin(nd("o_orderkey", "k_nd"))
+      .crossJoin(nd("o_orderstatus", "s_nd"))
+      .crossJoin(nd("o_totalprice", "p_nd"))
+      .crossJoin(nd("o_orderdate", "d_nd"))
       .selectExpr(
         """stack(4,
           |  'o_orderkey', k_nulls, k_nd, k_min, k_max,
@@ -495,9 +525,42 @@ object Relational {
           |  'o_orderdate', d_nulls, d_nd, d_min, d_max
           |) AS (col_name, n_nulls, n_distinct, min_str, max_str)""".stripMargin)
       .orderBy("col_name")
+  }
+
+  /** One-pass profiling — the actual 100 TB shape: ALL distinct counts as
+    * mergeable HLL++ sketches inside a single HashAggregate (one scan, no
+    * Expand, no per-column re-scan). For the correctness gate the sketch
+    * estimates are reduced to within-5% booleans against the exact counts
+    * ([[profileTable]]'s per-column aggs — gate-only cost; production
+    * drops the exact cross-check and keeps just the sketch pass). */
+  def profileTableApprox(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def nd(c: String, as: String): DataFrame =
+      o.select(col(c)).agg(countDistinct(col(c)).as(as))
+    def ok(approx: String, exact: String): Column =
+      (abs(col(approx) - col(exact)) * 20 <= col(exact)).as(approx + "_ok")
+    o.agg(
+        count(when(col("o_orderkey").isNull, 1)).as("k_nulls"),
+        approx_count_distinct(col("o_orderkey"), 0.01).as("k_and"),
+        count(when(col("o_orderstatus").isNull, 1)).as("s_nulls"),
+        approx_count_distinct(col("o_orderstatus"), 0.01).as("s_and"),
+        count(when(col("o_totalprice").isNull, 1)).as("p_nulls"),
+        approx_count_distinct(col("o_totalprice"), 0.01).as("p_and"),
+        count(when(col("o_orderdate").isNull, 1)).as("d_nulls"),
+        approx_count_distinct(col("o_orderdate"), 0.01).as("d_and"))
+      .crossJoin(nd("o_orderkey", "k_nd"))
+      .crossJoin(nd("o_orderstatus", "s_nd"))
+      .crossJoin(nd("o_totalprice", "p_nd"))
+      .crossJoin(nd("o_orderdate", "d_nd"))
+      .select(
+        col("k_nulls"), col("s_nulls"), col("p_nulls"), col("d_nulls"),
+        ok("k_and", "k_nd"), ok("s_and", "s_nd"),
+        ok("p_and", "p_nd"), ok("d_and", "d_nd"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_table"  -> (profileTable(_, _)),
+    "profile_table_approx" -> (profileTableApprox(_, _)),
     "win_dist"       -> (winDist(_, _)),
     "agg_unpivot"    -> (aggUnpivot(_, _)),
     "agg_percentile" -> (aggPercentile(_, _)),
@@ -589,6 +652,44 @@ object Relational {
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |  round(quantile_cont(l_quantity, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // each engine compares its OWN sketch against its OWN exact value —
+    // the boolean agrees across engines even though the estimates differ
+    "agg_percentile_approx" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+        |  abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5)) <= 2.0 AS p50_close,
+        |  abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 2.0 AS p90_close,
+        |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99)) <= 2.0 AS p99_close
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_approx" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  abs(CAST(approx_count_distinct(l_partkey) AS BIGINT) - COUNT(DISTINCT l_partkey)) * 20
+        |    <= COUNT(DISTINCT l_partkey) AS hllpp_within_5pct,
+        |  abs(CAST(approx_count_distinct(l_partkey) AS BIGINT) - COUNT(DISTINCT l_partkey)) * 20
+        |    <= COUNT(DISTINCT l_partkey) AS dsk_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "profile_table_approx" ->
+      """WITH b AS (SELECT
+        |    CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS k_nulls,
+        |    CAST(approx_count_distinct(o_orderkey) AS BIGINT) AS k_and,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_nd,
+        |    CAST(COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT) AS s_nulls,
+        |    CAST(approx_count_distinct(o_orderstatus) AS BIGINT) AS s_and,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_nd,
+        |    CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT) AS p_nulls,
+        |    CAST(approx_count_distinct(o_totalprice) AS BIGINT) AS p_and,
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS p_nd,
+        |    CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT) AS d_nulls,
+        |    CAST(approx_count_distinct(o_orderdate) AS BIGINT) AS d_and,
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_nd
+        |  FROM orders)
+        |SELECT k_nulls, s_nulls, p_nulls, d_nulls,
+        |  abs(k_and - k_nd) * 20 <= k_nd AS k_and_ok,
+        |  abs(s_and - s_nd) * 20 <= s_nd AS s_and_ok,
+        |  abs(p_and - p_nd) * 20 <= p_nd AS p_and_ok,
+        |  abs(d_and - d_nd) * 20 <= d_nd AS d_and_ok
+        |FROM b""".stripMargin,
     "limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,

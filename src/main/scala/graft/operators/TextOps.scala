@@ -232,6 +232,46 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** SimHash near-dup via LSH banding — the scale path for hamming
+    * space. The 64-bit fingerprint splits into 11 contiguous slices
+    * (t+1 bands for threshold t=10): any pair within hamming distance 10
+    * must agree EXACTLY on at least one slice (pigeonhole), so a band+key
+    * equi-join finds every such pair without the all-pairs product, and
+    * the native codegen hamming_dist then filters false positives inside
+    * buckets only. At 100 TB the shuffle carries (band, key, 64-char
+    * fingerprint) — never document text — and bucket sizes are governed
+    * by slice entropy; for extreme corpora the permute-and-sort scheme of
+    * Manku et al. (WWW'07) trades the band join for sorted-run scans, but
+    * the banded equi-join is the Spark-native shape (hash shuffle, AQE
+    * skew handling applies to hot buckets). Bounded to the same doc_id
+    * subset as [[simhashNearDup]] because the tiny synthetic vocabulary
+    * makes ~90% of ALL pairs collide (corpus pathology, not algorithm) —
+    * TextOpsSpec proves band-join recall == the exhaustive baseline.
+    * Rows-only (xxhash64 family not reproducible in DuckDB). */
+  def simhashBandPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = 11
+    val sh = simhash(s, d).filter(col("doc_id") < 150)
+    val slices = (0 until bands).map { i =>
+      val lo = i * 64 / bands
+      val hi = (i + 1) * 64 / bands
+      struct(lit(i).as("band"),
+        substring(col("simhash"), lo + 1, hi - lo).as("key"))
+    }
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(array(slices: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        graft.functions.NativeExpressions
+          .hamming_dist(col("a.simhash"), col("b.simhash")).as("dist"))
+      .filter(col("dist") <= 10)
+      .distinct() // a pair can agree on several bands
+      .orderBy("id_a", "id_b")
+  }
+
   /** Text normalization + pattern redaction: lowercase, punctuation
     * strip, whitespace collapse, tool-word redaction — the cleaning stage
     * every corpus pipeline runs before hashing/dedup. */
@@ -332,6 +372,7 @@ object TextOps {
     "llm_dedup_minhash" -> (minhashPairs(_, _)),
     "llm_simhash"       -> (simhash(_, _)),
     "llm_simhash_neardup" -> (simhashNearDup(_, _)),
+    "llm_simhash_band"  -> (simhashBandPairs(_, _)),
     "llm_normalize"     -> (normalize(_, _)),
     "llm_pipeline"      -> (curationPipeline(_, _))
   )

@@ -102,8 +102,9 @@ class PlanSpec extends SparkSpec {
     // hash families / sketches / env-local paths / float-merge outputs —
     // anything else appearing here means an oracle was accidentally lost
     assert(rowsOnly == Set(
-      "agg_approx", "agg_percentile_approx", "llm_ann_ivf",
+      "llm_ann_ivf",
       "llm_dedup_minhash", "llm_simhash", "llm_simhash_neardup",
+      "llm_simhash_band",
       "llm_centroid", "llm_sim_prenorm", "source_binaryfile"),
       s"unexpected rows-only set: $rowsOnly")
   }

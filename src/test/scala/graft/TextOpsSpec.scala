@@ -71,6 +71,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(_._2.forall(c => c == '0' || c == '1')))
   }
 
+  test("simhash LSH banding finds exactly the exhaustive pairs at dist <= 10") {
+    // pigeonhole: 11 bands, <=10 differing bits => >=1 band agrees exactly,
+    // so the band join misses nothing; the dist filter drops bucket false
+    // positives, so the sets are EQUAL, not just a superset
+    val exhaustive = TextOps.simhashNearDup(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = TextOps.simhashBandPairs(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == exhaustive,
+      s"missed: ${exhaustive.diff(banded).take(5)}; extra: ${banded.diff(exhaustive).take(5)}")
+  }
+
   test("fingerprint: stable across runs (pure function of text)") {
     val a = TextOps.fingerprint(spark, sf).as[(Long, Long)].collect().toMap
     val b = TextOps.fingerprint(spark, sf).as[(Long, Long)].collect().toMap
