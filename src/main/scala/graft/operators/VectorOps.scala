@@ -58,19 +58,17 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-style ANN: corpus bucketed by nearest of 8 deterministic
-    * centroids (vec_id < 8); each query probes its nearest 2 cells only.
-    * Rows-only (float assignment chains are not worth oracling);
-    * scalatest checks recall against brute force. */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val centroids = emb.filter(col("vec_id") < 8)
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
-    // assign every vector to its nearest centroid (broadcast: 8 rows).
-    // argmin via min(struct(dist, cell)) — a partial+final hash aggregate
-    // (map-side combine, no per-vector window sort): at 10⁹ vectors this
-    // is one shuffle of (vec_id → 2 numbers), not a sort of n×ncells rows
-    val assigned = emb.join(broadcast(centroids))
+
+  /** Assign every vector to its nearest of 8 deterministic centroids
+    * (broadcast: 8 rows). argmin via min(struct(dist, cell)) — a
+    * partial+final hash aggregate (map-side combine, no per-vector window
+    * sort): at 10⁹ vectors this is one shuffle of (vec_id → 2 numbers),
+    * not a sort of n×ncells rows. */
+  def assignCells(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).join(broadcast(centroids(s, d)))
       .select(col("vec_id"), col("label"), col("embedding"),
         struct(
           round(lit(2.0) - lit(2.0) * cosine(col("embedding"), col("cvec")), 9).as("dist"),
@@ -80,11 +78,34 @@ object VectorOps {
         first(col("label")).as("label"),
         first(col("embedding")).as("embedding"))
       .select("vec_id", "label", "embedding", "cell")
+
+  /** Materialize the IVF layout with `cell` as a PARTITION COLUMN: a
+    * probe of nprobe cells then prunes every other cell directory at
+    * file-listing time (ScaleSpec asserts selectedPartitions shrinks) —
+    * the corpus-side I/O drops by ncells/nprobe before a single row is
+    * read. This is the production form of [[annIvf]]'s in-query
+    * assignment. */
+  def writeIvfLayout(s: SparkSession, d: String, out: String): Unit =
+    assignCells(s, d).write.mode("overwrite").partitionBy("cell").parquet(out)
+
+  /** Probe-side read of the materialized IVF layout: only the listed
+    * cells' directories are scanned (partition pruning, no data filter). */
+  def readIvfCells(s: SparkSession, out: String, cells: Seq[Int]): DataFrame =
+    s.read.parquet(out).filter(col("cell").isin(cells: _*))
+
+  /** IVF-style ANN: corpus bucketed by nearest of 8 deterministic
+    * centroids (vec_id < 8); each query probes its nearest 2 cells only.
+    * Rows-only (float assignment chains are not worth oracling);
+    * scalatest checks recall against brute force. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = centroids(s, d)
+    val assigned = assignCells(s, d)
     // queries probe their 2 nearest cells
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("cell"))
-    val probes = queries.join(broadcast(centroids))
+    val probes = queries.join(broadcast(cents))
       .select(col("query_id"), col("q"), col("cell"),
         round(lit(2.0) - lit(2.0) * cosine(col("q"), col("cvec")), 9).as("qdist"))
       .withColumn("rn", row_number().over(wProbe))

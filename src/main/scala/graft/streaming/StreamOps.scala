@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2 Part B rows B38-B42).
   *
@@ -87,5 +88,48 @@ object StreamOps {
           state.update(next)
           next
       }
+  }
+
+  /** [[runningUserStats]] on the current API: `transformWithState`
+    * (Spark 4's successor to mapGroupsWithState). Typed `ValueState` in
+    * the RocksDB state store, optional TTL per state variable, timers,
+    * and schema evolution — the shape new stateful pipelines should use.
+    * Semantics identical to the mapGroupsWithState form; StreamOpsSpec
+    * proves the two emit the same final per-user stats. */
+  private class UserStatsProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), UserStat] {
+    @transient private var stat: ValueState[UserStat] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stat = getHandle.getValueState[UserStat](
+        "userStat", Encoders.product[UserStat], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[UserStat] = {
+      val batch = rows.toSeq
+      val prev =
+        if (stat.exists()) stat.get()
+        else UserStat(uid, 0L, batch.head._2)
+      // last-seen must never regress when a late batch arrives
+      val batchMax = batch.map(_._2).maxBy(_.getTime)
+      val next = UserStat(uid, prev.nEvents + batch.size,
+        if (batchMax.getTime > prev.lastTs.getTime || prev.nEvents == 0) batchMax
+        else prev.lastTs)
+      stat.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store provider
+    * (set `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider` before starting the query). */
+  def runningUserStatsTws(
+      events: Dataset[(Long, java.sql.Timestamp)]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

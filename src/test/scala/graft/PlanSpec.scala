@@ -74,11 +74,9 @@ class PlanSpec extends SparkSpec {
 
   test("approx distinct bounds: HLL estimates within 5% of exact") {
     Relational.aggApprox(spark, sf).collect().foreach { r =>
-      val (approx, hll, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"approx=$approx exact=$exact")
-      assert(math.abs(hll - exact).toDouble / exact < 0.05,
-        s"hll=$hll exact=$exact")
+      assert(r.getLong(1) > 0, s"exact_parts must be positive: $r")
+      assert(r.getBoolean(2), s"HLL++ estimate drifted >5% from exact: $r")
+      assert(r.getBoolean(3), s"Datasketches estimate drifted >5% from exact: $r")
     }
   }
 

@@ -99,6 +99,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell layout: probing 2 cells partition-prunes the other directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = Files.createTempDirectory("graft_ivf").resolve("ivf").toString
+    graft.operators.VectorOps.writeIvfLayout(spark, sf, path)
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .headOption.getOrElse(fail("no FileSourceScanExec"))
+    val all = scanOf(spark.read.parquet(path)).selectedPartitions.partitionCount
+    val probed = graft.operators.VectorOps.readIvfCells(spark, path, Seq(1, 3))
+    val pruned = scanOf(probed).selectedPartitions.partitionCount
+    assert(all >= 4, s"expected several cell directories, got $all")
+    assert(pruned == 2, s"expected exactly the 2 probed cells, scanned $pruned of $all")
+    assert(probed.select("cell").distinct().count() == 2)
+  }
+
   test("ingest catalog partition layout prunes on dataset_id") {
     val path = Files.createTempDirectory("graft_cat").resolve("cat").toString
     val batch = Seq(

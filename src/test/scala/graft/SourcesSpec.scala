@@ -47,6 +47,28 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PushedFilters"))
   }
 
+  test("scheme'd Hadoop-FS URI reads identically to the bare local path (B2)") {
+    // the object-store path (s3a://...) differs from the local fast lane
+    // only in the FileSystem the URI scheme resolves; file:// exercises
+    // the same scheme-resolution machinery end to end
+    val bare = Tables.load(spark, sf, "orders")
+    val schemed = Tables.load(spark, s"file://${new java.io.File(sf).getAbsolutePath}", "orders")
+    assert(schemed.schema == bare.schema)
+    assert(schemed.count() == bare.count())
+    val s1 = bare.agg(sum($"o_totalprice".cast("decimal(18,2)"))).head.getDecimal(0)
+    val s2 = schemed.agg(sum($"o_totalprice".cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(s1 == s2)
+    // object-store reader configs round-trip through the same conf plumbing
+    val hc = spark.sparkContext.hadoopConfiguration
+    val saved = Option(hc.get("fs.s3a.connection.maximum"))
+    hc.set("fs.s3a.connection.maximum", "64")
+    try assert(hc.get("fs.s3a.connection.maximum") == "64")
+    finally saved match {
+      case Some(v) => hc.set("fs.s3a.connection.maximum", v)
+      case None => hc.unset("fs.s3a.connection.maximum")
+    }
+  }
+
   test("partitioned parquet sink prunes on read") {
     val p = tmp("orders_part")
     base.write.partitionBy("o_orderstatus").parquet(p)

@@ -155,6 +155,36 @@ class StreamOpsSpec extends SparkSpec {
       assert(last(1L) == 3L && last(2L) == 1L)
     } finally q.stop()
   }
+
+  test("transformWithState matches mapGroupsWithState's final per-user stats") {
+    // transformWithState only runs on the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val name = s"out_${System.nanoTime()}"
+    val q = StreamOps.runningUserStatsTws(mem.toDS()).toDF().writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      mem.addData(Seq((1L, ts(5)), (1L, ts(1)), (2L, ts(2))))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, ts(3)))) // late: count advances, lastTs must not regress
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      val last = rows.groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      assert(last(1L)._2 == 3L && last(2L)._2 == 1L)
+      assert(last(1L)._3 == ts(5), s"lastTs regressed: ${last(1L)._3}")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 object StreamOpsSpec {
