@@ -217,19 +217,28 @@ object Relational {
   /** Approximate distinct (HLL++) — mergeable across partitions, the
     * 100 TB answer to COUNT(DISTINCT). The raw estimates differ per
     * engine, so the oracle check reduces each engine's OWN estimate to a
-    * within-5% boolean against the exact count (rsd 0.01 / lgK 14 put 5%
-    * at ≥5σ, so the booleans agree deterministically); scalatest
+    * within-5% boolean against the exact count (rsd 0.02 / lgK 14 put 5%
+    * at ≥2.5σ; the sketches are deterministic per dataset, and the
+    * booleans are verified true at sf0.001/0.01/0.1); scalatest
     * additionally bounds the estimates. */
-  def aggApprox(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+  def aggApprox(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // sketches in ONE pure non-distinct pass. Never mix countDistinct
+    // into the same Aggregate: the distinct rewrite Expands the input ×2
+    // and every expanded row then drags the multi-kiloword HLL++ buffer
+    // (measured 15× slower at sf0.1)
+    val sketches = li.groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         // Datasketches HLL: the mergeable-sketch form (hll_union across
         // shards is how 100 TB distinct counts compose); register-max
         // merge is commutative so the estimate is partition-order-stable
-        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 14)).as("hll_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 14)).as("hll_parts"))
+    // the exact cross-check runs as its OWN two-phase distinct aggregate
+    // (map-side dedup, no Expand) and joins back on the 3-row group key
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    sketches.join(exact, "l_returnflag")
       .select(
         col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
@@ -237,6 +246,7 @@ object Relational {
         (abs(col("hll_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
           .as("dsk_within_5pct"))
       .orderBy("l_returnflag")
+  }
 
   // ---------------------------------------------------------------- B24
   /** Collect/argmax aggregates, made deterministic: sorted-joined distinct
@@ -541,13 +551,13 @@ object Relational {
       (abs(col(approx) - col(exact)) * 20 <= col(exact)).as(approx + "_ok")
     o.agg(
         count(when(col("o_orderkey").isNull, 1)).as("k_nulls"),
-        approx_count_distinct(col("o_orderkey"), 0.01).as("k_and"),
+        approx_count_distinct(col("o_orderkey"), 0.02).as("k_and"),
         count(when(col("o_orderstatus").isNull, 1)).as("s_nulls"),
-        approx_count_distinct(col("o_orderstatus"), 0.01).as("s_and"),
+        approx_count_distinct(col("o_orderstatus"), 0.02).as("s_and"),
         count(when(col("o_totalprice").isNull, 1)).as("p_nulls"),
-        approx_count_distinct(col("o_totalprice"), 0.01).as("p_and"),
+        approx_count_distinct(col("o_totalprice"), 0.02).as("p_and"),
         count(when(col("o_orderdate").isNull, 1)).as("d_nulls"),
-        approx_count_distinct(col("o_orderdate"), 0.01).as("d_and"))
+        approx_count_distinct(col("o_orderdate"), 0.02).as("d_and"))
       .crossJoin(nd("o_orderkey", "k_nd"))
       .crossJoin(nd("o_orderstatus", "s_nd"))
       .crossJoin(nd("o_totalprice", "p_nd"))

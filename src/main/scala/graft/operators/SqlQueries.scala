@@ -132,14 +132,150 @@ object SqlQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_filter" -> (aggFilter(_, _)),
-    "sql_q7" -> (q7(_, _)),
-    "sql_q3" -> (q3(_, _)),
-    "sql_q5" -> (q5(_, _)),
-    "sub_queries" -> (subqueries(_, _)),
-    "fn_null" -> (nullHandling(_, _))
+  /** TPC-H shapes whose text is valid, and decimal-exact, in BOTH Spark
+    * SQL and DuckDB — declared once, run verbatim in each engine (the
+    * strongest possible oracle: zero translation). Q2/Q9-class queries
+    * need `partsupp`, which the testdata omits; date-lag predicates stand
+    * in for the missing commit/receipt columns with the same plan shape
+    * (correlated EXISTS, CASE-class aggregation, OR-of-conjunction
+    * pushdown). */
+  private val tpchShared: Map[String, String] = Map(
+    // Q1: full pricing summary — one scan, partial+final hash aggregate
+    "sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |           * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Q4: order-priority count via correlated EXISTS (decorrelated to a
+    // semi join); ship-lag predicate stands in for commit<receipt
+    "sql_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // Q6: forecast revenue change — pure scan + filter + single aggregate
+    "sql_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q8: national market share — 8-table star join, CASE share aggregate
+    "sql_q8" ->
+      """SELECT o_year,
+        |  ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Q10: returned-item reporting — revenue lost to returns per customer
+    "sql_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // Q12: late shipments by priority class per ship year (FILTER-class
+    // conditional counts; ship-lag stands in for the shipmode predicate)
+    "sql_q12" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q14: promotion revenue share — join + CASE numerator over one month
+    "sql_q14" ->
+      """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    // Q18: large-volume customers — aggregate + HAVING on the exact sum
+    "sql_q18" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, o_orderkey, o_orderdate
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 140
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 50""".stripMargin,
+    // Q19: OR-of-conjunctions across the join — planners must push the
+    // part-only disjuncts to the dim scan and keep the mixed ones above
+    "sql_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity >= 1 AND l_quantity <= 21)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity >= 10 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |        AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
   )
+
+  private def runShared(name: String)(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(tpchShared(name))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "agg_filter" -> (aggFilter(_, _)),
+      "sql_q7" -> (q7(_, _)),
+      "sql_q3" -> (q3(_, _)),
+      "sql_q5" -> (q5(_, _)),
+      "sub_queries" -> (subqueries(_, _)),
+      "fn_null" -> (nullHandling(_, _))
+    ) ++ tpchShared.keys.map(n => n -> (runShared(n) _)).toMap
 
   def oracles: Map[String, String] = Map(
     "agg_filter" ->
@@ -214,5 +350,5 @@ object SqlQueries {
         |  CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM pri THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
         |  CAST(COUNT(DISTINCT COALESCE(st, 'NONE')) AS BIGINT) AS n_filled
         |FROM e""".stripMargin
-  )
+  ) ++ tpchShared
 }

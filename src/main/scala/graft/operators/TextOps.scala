@@ -195,22 +195,29 @@ object TextOps {
 
   /** SimHash: 64-bit fingerprint from per-token xxhash64 bit votes,
     * emitted as a 64-char bit string (exact at all 64 bits — a double
-    * reconstruction would lose bits ≥ 2^53). Rows-only (hash family not
-    * reproducible in DuckDB); hamming-neighborhood property is
-    * scalatest-verified. */
+    * reconstruction would lose bits ≥ 2^53). Shape: explode distinct
+    * tokens once, then 64 trivial ±1-vote sums in ONE hash aggregate —
+    * the nested transform×zip_with lambda form codegens into a huge
+    * method and ran ~4× slower (same lesson as the MinHash permutations);
+    * the explode+simple-aggs form is also the 100 TB shape (shuffle
+    * carries (doc_id, 64 longs), map-side partial votes). Rows-only
+    * (hash family not reproducible in DuckDB); hamming-neighborhood
+    * property is scalatest-verified. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = array_distinct(words(col("text")))
-    // each token → its hash as a 64-char '0'/'1' array (2's complement)
-    val bitArrs = transform(toks, w => split(lpad(bin(xxhash64(w)), 64, "0"), ""))
-    // per-position ±1 votes summed across tokens
-    val votes = aggregate(
-      bitArrs,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, slice(h, 1, 64),
-        (a, c) => a + when(c === "1", 1L).otherwise(-1L)))
-    Tables.documents(s, d)
+    val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
-        array_join(transform(votes, v => when(v > 0, "1").otherwise("0")), "").as("simhash"))
+        explode(array_distinct(words(col("text")))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    // one ±1 vote column per bit (MSB first, matching bin()'s layout);
+    // arithmetic shiftright + mask reads the bit sign-independently
+    val votes = (63 to 0 by -1).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((63 to 0 by -1).map(i =>
+          when(col(s"b$i") > 0, "1").otherwise("0")): _*).as("simhash"))
       .orderBy("doc_id")
   }
 
