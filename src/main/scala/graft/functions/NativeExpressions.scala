@@ -93,6 +93,73 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fused dot product over two numeric arrays — the hot inner loop once
+    * a corpus is pre-unit-normalized ([[graft.operators.VectorOps.simSearchPrenorm]]):
+    * cosine degenerates to dot, so the scan cost per pair is exactly this
+    * one loop. Double accumulation left-to-right, bit-identical to the
+    * zip_with+aggregate composition (NativeExpressionsSpec). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_product"
+
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), ys.numElements())
+      val lt = elemType(left); val rt = elemType(right)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += toDouble(xs, i, lt) * toDouble(ys, i, rt)
+        i += 1
+      }
+      dot
+    }
+
+    private def toDouble(arr: ArrayData, i: Int, t: DataType): Double = t match {
+      case DoubleType => arr.getDouble(i)
+      case FloatType => arr.getFloat(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case dt: DecimalType => arr.getDecimal(i, dt.precision, dt.scale).toDouble
+      case _ => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+    private def getter(t: DataType, arr: String, i: String): String = t match {
+      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case dt: DecimalType =>
+        s"$arr.getDecimal($i, ${dt.precision}, ${dt.scale}).toDouble()"
+      case _ => throw new IllegalArgumentException(s"unsupported element type $t")
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += ${getter(elemType(left), a, i)} * ${getter(elemType(right), b, i)};
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Hamming distance between two equal-length bit strings (e.g. the
     * 64-char SimHash fingerprints from [[graft.operators.TextOps.simhash]])
     * — the near-dup distance for SimHash bucketing. */
@@ -143,11 +210,17 @@ object NativeExpressions {
     GraftColumnBridge.toColumn(HammingDist(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(DotProduct(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
   /** SQL registration (B48 surface): `SELECT cosine_sim(a, b)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hamming_dist", exprs => HammingDist(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
   }
 }

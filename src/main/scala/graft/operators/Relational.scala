@@ -248,6 +248,35 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Statistical aggregates (corr / covar_samp / stddev_samp) assembled
+    * from EXACT decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²) with the
+    * closed form evaluated in double only at the end. Spark's built-in
+    * `corr`/`stddev` stream double moments whose last ulps depend on
+    * partition order; the exact-moment form is deterministic AND the
+    * mergeable shape (moment sums combine associatively across shards —
+    * the same reason sketches scale). */
+  def aggStats(s: SparkSession, d: String): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    val m = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n = col("n_rows").cast("double")
+    def d8(c: Column): Column = c.cast("double")
+    val cxy = n * d8(col("sxy")) - d8(col("sx")) * d8(col("sy"))
+    val vx = n * d8(col("sxx")) - d8(col("sx")) * d8(col("sx"))
+    val vy = n * d8(col("syy")) - d8(col("sy")) * d8(col("sy"))
+    m.select(
+        col("l_returnflag"), col("n_rows"),
+        round(cxy / (n * (n - 1)), 4).as("covar_s"),
+        round(cxy / sqrt(vx * vy), 6).as("corr"),
+        round(sqrt(vx / (n * (n - 1))), 6).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- B24
   /** Collect/argmax aggregates, made deterministic: sorted-joined distinct
     * set; max_by over a unique ordering value. */
@@ -597,6 +626,7 @@ object Relational {
     "agg_rollup"     -> (aggRollup(_, _)),
     "agg_cube"       -> (aggCube(_, _)),
     "agg_approx"     -> (aggApprox(_, _)),
+    "agg_stats"      -> (aggStats(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -671,6 +701,25 @@ object Relational {
         |  abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 2.0 AS p90_close,
         |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99)) <= 2.0 AS p99_close
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  ROUND((n*sxy - sx*sy) / (n*(n-1)), 4) AS covar_s,
+        |  ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr,
+        |  ROUND(sqrt((n*sxx - sx*sx) / (n*(n-1))), 6) AS stddev_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_approx" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

@@ -62,22 +62,25 @@ object VectorOps {
     Tables.embeddings(s, d).filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
 
-  /** Assign every vector to its nearest of 8 deterministic centroids
-    * (broadcast: 8 rows). argmin via min(struct(dist, cell)) — a
-    * partial+final hash aggregate (map-side combine, no per-vector window
-    * sort): at 10⁹ vectors this is one shuffle of (vec_id → 2 numbers),
-    * not a sort of n×ncells rows. */
-  def assignCells(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).join(broadcast(centroids(s, d)))
+  /** Assign every vector to its nearest of 8 deterministic centroids —
+    * entirely MAP-SIDE: the centroid set collapses to a single
+    * broadcast-joined array row and the argmin runs as one expression
+    * per vector (`array_sort` on (dist, cell) structs over 8 elements).
+    * Zero shuffle of the corpus: at 10⁹ vectors the earlier
+    * join-then-groupBy form re-shuffled every embedding just to pick a
+    * minimum the map task already knew. */
+  def assignCells(s: SparkSession, d: String): DataFrame = {
+    val centsArr = centroids(s, d)
+      .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+    Tables.embeddings(s, d).join(broadcast(centsArr))
       .select(col("vec_id"), col("label"), col("embedding"),
-        struct(
-          round(lit(2.0) - lit(2.0) * cosine(col("embedding"), col("cvec")), 9).as("dist"),
-          col("cell")).as("dc"))
-      .groupBy("vec_id")
-      .agg(min(col("dc")).getField("cell").as("cell"),
-        first(col("label")).as("label"),
-        first(col("embedding")).as("embedding"))
-      .select("vec_id", "label", "embedding", "cell")
+        element_at(
+          array_sort(transform(col("cents"), c => struct(
+            round(lit(2.0) - lit(2.0) * cosine(col("embedding"), c.getField("cvec")), 9)
+              .as("dist"),
+            c.getField("cell").as("cell")))), 1)
+          .getField("cell").as("cell"))
+  }
 
   /** Materialize the IVF layout with `cell` as a PARTITION COLUMN: a
     * probe of nprobe cells then prunes every other cell directory at
@@ -155,7 +158,9 @@ object VectorOps {
     unit.filter(col("vec_id") >= 3)
       .join(broadcast(queries))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("q"), col("u")), 6).as("sim"))
+        // fused native dot (one codegen loop) — bit-identical to the HOF
+        // composition (NativeExpressionsSpec), so ranks are unchanged
+        round(graft.functions.NativeExpressions.dot_product(col("q"), col("u")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "sim")

@@ -42,6 +42,16 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native dot_product is bit-identical to the zip_with+aggregate HOF form") {
+    val both = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        VectorOps.dot(col("a.embedding"), col("b.embedding")).as("hof"),
+        NativeExpressions.dot_product(col("a.embedding"), col("b.embedding")).as("native"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (h, n) => assert(h == n, s"hof=$h native=$n") }
+  }
+
   test("hamming_dist: zero for equal strings, counts differing positions, length gap") {
     val df = Seq(
       ("0011", "0011", 0),
