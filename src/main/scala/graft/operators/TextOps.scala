@@ -32,6 +32,61 @@ object TextOps {
       .select("keep_id", "n_copies", "content_hash")
       .orderBy("keep_id")
 
+  /** Deterministic content-hash sampling — the reproducible-subset
+    * primitive every corpus pipeline needs (re-running the job, on any
+    * cluster size, selects the SAME documents; `df.sample()` does not
+    * survive re-partitioning). Keep rate = 2/16 via the first hex nibble
+    * of md5(doc_id): md5 is identical in every engine, so the oracle
+    * reproduces the exact sample. Scales trivially: a per-row predicate,
+    * no shuffle, pushes nothing but the scan. */
+  def sampleByHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** TF-IDF term scoring over the corpus: tf = in-doc term count, df =
+    * docs containing the term, idf = ln(N/df). One explode + two hash
+    * aggregates + a broadcast of the (vocab-sized) df table — never an
+    * all-pairs product; the corpus-wide constant N rides a 1-row
+    * cross join. Scores bounded to doc_id < 20 to keep gate output small
+    * (the aggregates themselves run corpus-wide). */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+          .as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Token packing: assign documents to fixed-budget (4096-token)
+    * training batches by running token count — the sequence-packing step
+    * before tokenized examples ship to trainers. Integer-exact: batch =
+    * floor(start_offset / budget) over an exact running sum. Packs
+    * PER SOURCE partition (parallel windows); at 100 TB each shard packs
+    * independently and a final pass offsets batch ids by per-shard
+    * totals — same two-phase shape, no global sort. */
+  def packTokens(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // floor, not cast-truncate: DuckDB's CAST(double AS INT) rounds
+        floor((col("cum") - col("n_tokens")) / lit(4096L)).cast("int").as("batch_id"))
+      .orderBy("source", "doc_id")
+  }
+
   // ---------------------------------------------------------------- B46
   /** Corpus stats rollup per (lang, source): doc/word/char counts. */
   def textStats(s: SparkSession, d: String): DataFrame =
@@ -381,7 +436,10 @@ object TextOps {
     "llm_simhash_neardup" -> (simhashNearDup(_, _)),
     "llm_simhash_band"  -> (simhashBandPairs(_, _)),
     "llm_normalize"     -> (normalize(_, _)),
-    "llm_pipeline"      -> (curationPipeline(_, _))
+    "llm_pipeline"      -> (curationPipeline(_, _)),
+    "llm_sample"        -> (sampleByHash(_, _)),
+    "llm_tfidf"         -> (tfidf(_, _)),
+    "llm_pack"          -> (packTokens(_, _))
   )
 
   private val tokCte =
@@ -390,6 +448,37 @@ object TextOps {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "llm_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+    "llm_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, w),
+        |dfreq AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.w AS term, tf.tf, dfreq.df,
+        |  ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 4) AS tfidf
+        |FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+        |WHERE tf.doc_id < 20
+        |ORDER BY tf.doc_id, term""".stripMargin,
+    "llm_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 4096.0) AS INT) AS batch_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
         |  sha256(text) AS content_hash

@@ -115,6 +115,32 @@ class ScaleSpec extends SparkSpec {
     assert(probed.select("cell").distinct().count() == 2)
   }
 
+  test("runtime bloom filter injects might_contain on the fact side of a shuffle join") {
+    // a selective dim predicate should seed a bloom filter that prunes
+    // fact rows BEFORE the shuffle — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling matches only
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(2000)}")
+      assert(joined.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ingest catalog partition layout prunes on dataset_id") {
     val path = Files.createTempDirectory("graft_cat").resolve("cat").toString
     val batch = Seq(
