@@ -176,8 +176,17 @@ object TextOps {
     * |A∪B| = |A|+|B|−|A∩B|. All-integer until the final division.
     * At 100 TB you never run exact Jaccard on all pairs — this is the
     * verification oracle for the MinHash path below. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d, 150)
+      .filter(col("jaccard") >= 0.05)
+      .select("id_a", "id_b", "n_inter", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  /** Scored 3-shingle Jaccard pairs on doc_id < maxDoc — shared by the
+    * near-dup score query above and the dedup-cluster graph in
+    * [[GraphOps.dedupClusters]]. */
+  private[graft] def jaccardPairs(s: SparkSession, d: String, maxDoc: Long): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < maxDoc)
     val sh = docs.select(col("doc_id"),
         explode(array_distinct(shingles(col("text"), 3))).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -190,9 +199,6 @@ object TextOps {
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 4))
-      .filter(col("jaccard") >= 0.05)
-      .select("id_a", "id_b", "n_inter", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** k-word shingles of a text column as an array column (codegen'd:

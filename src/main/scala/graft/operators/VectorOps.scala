@@ -167,6 +167,67 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Random-hyperplane (sign) sketch — cosine LSH. Bit j of the sketch
+    * is sign(dot(v, h_j)) for a deterministic Rademacher hyperplane
+    * family h_j[i] = ±1 drawn from xxhash64(i, j) parity: no stored
+    * hyperplane matrix, any executor regenerates it from (i, j) alone.
+    * Shape: posexplode the vector once, then nBits trivial signed sums
+    * in ONE hash aggregate — map-side partial combine means the shuffle
+    * carries (vec_id, nBits doubles), the same explode+simple-aggs
+    * lesson as MinHash/SimHash (nested transform×aggregate lambdas
+    * codegen into huge methods). Collision probability per bit is
+    * 1 − θ/π (Charikar, STOC'02), so sketch hamming estimates angle. */
+  def hyperplaneSketch(df: DataFrame, nBits: Int = 16): DataFrame = {
+    val ex = df.select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "i", "x")
+    val votes = (0 until nBits).map { j =>
+      sum(col("x").cast("double") *
+        when(xxhash64(col("i"), lit(j)).bitwiseAND(lit(1L)) === 0L, 1.0)
+          .otherwise(-1.0)).as(s"d$j")
+    }
+    ex.groupBy("vec_id").agg(votes.head, votes.tail: _*)
+      .select(col("vec_id"),
+        concat((0 until nBits).map(j =>
+          when(col(s"d$j") > 0, "1").otherwise("0")): _*).as("sketch"))
+  }
+
+  /** Embedding near-dup via cosine-LSH banding — the 100 TB path that
+    * replaces [[embedNearDup]]'s bounded all-pairs join: 16-bit sketch,
+    * 4 bands × 4 bits; any pair within sketch-hamming 3 agrees exactly
+    * on ≥ 1 band (pigeonhole), so a band equi-join finds every such pair
+    * without the O(n²) product, then exact cosine reranks inside buckets
+    * only. The shuffle carries (band, 4-bit key, 16-char sketch) — never
+    * embeddings; candidate rerank re-joins the corpus by id. Rows-only
+    * (xxhash64 hyperplane family not reproducible in DuckDB);
+    * VectorOpsSpec proves band recall == the exhaustive sketch scan and
+    * the sign-sketch's scale/negation invariants. */
+  def embedLshPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = 4
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val sk = hyperplaneSketch(emb)
+    val slices = (0 until bands).map(i =>
+      struct(lit(i).as("band"), substring(col("sketch"), i * 4 + 1, 4).as("key")))
+    val banded = sk
+      .select(col("vec_id"), col("sketch"), explode(array(slices: _*)).as("b"))
+      .select(col("vec_id"), col("sketch"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.NativeExpressions
+          .hamming_dist(col("a.sketch"), col("b.sketch")).as("dist"))
+      .distinct() // a pair can agree on several bands
+      .filter(col("dist") <= 3)
+    cands
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("dist"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-label centroid via the typed [[graft.functions.VectorAggregators.Centroid]]
     * aggregator (B49): mergeable map-side buffers; output rounded (merge
     * order makes the last ulp partition-dependent → rows-only check). */
@@ -202,7 +263,8 @@ object VectorOps {
     "llm_embed_neardup" -> (embedNearDup(_, _)),
     "llm_embed_stats"   -> (embedStats(_, _)),
     "llm_centroid"      -> (labelCentroids(_, _)),
-    "llm_sim_prenorm"   -> (simSearchPrenorm(_, _))
+    "llm_sim_prenorm"   -> (simSearchPrenorm(_, _)),
+    "llm_embed_lsh"     -> (embedLshPairs(_, _))
   )
 
   def oracles: Map[String, String] = Map(

@@ -67,6 +67,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(m("min_dim").asInstanceOf[Int] == 64)
   }
 
+  test("hyperplane sketch: scale-invariant, negation flips every bit") {
+    val v = Seq(0.7f, -1.3f, 2.1f, 0.4f, -0.9f, 1.6f, -2.2f, 0.3f)
+    val df = Seq(
+      (1L, v), (2L, v.map(_ * 2)), (3L, v.map(-_))
+    ).toDF("vec_id", "embedding")
+    val sk = VectorOps.hyperplaneSketch(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sk(1L) == sk(2L)) // sign(dot) is scale-invariant
+    assert(sk(1L).zip(sk(3L)).forall { case (a, b) => a != b }) // -v flips all
+    assert(sk(1L).length == 16)
+  }
+
+  test("cosine LSH banding finds every pair the exhaustive sketch scan finds at hamming ≤ 3") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val sk = VectorOps.hyperplaneSketch(emb)
+    val exhaustive = sk.as("a").join(sk.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.NativeExpressions
+          .hamming_dist(col("a.sketch"), col("b.sketch")).as("dist"))
+      .filter(col("dist") <= 3)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    val banded = VectorOps.embedLshPairs(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == exhaustive, // pigeonhole: 4 bands cover hamming ≤ 3
+      s"banded=${banded.size} exhaustive=${exhaustive.size}")
+    assert(exhaustive.nonEmpty)
+  }
+
   test("IVF ANN recall@5 vs brute force ≥ 0.4 with 2/8 cells probed") {
     val bf = VectorOps.simSearch(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
