@@ -170,6 +170,78 @@ object TextOps {
           (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1 shape):
+    * duplicate-bigram fraction + most-frequent-word fraction, with a
+    * keep verdict at thresholds calibrated to split this corpus
+    * (dup_bigram ≤ 0.05, top_word ≤ 0.09). All per-row HOF arithmetic —
+    * single scan, no shuffle; the top-word count runs over the distinct
+    * set (vocab-sized), never word × word. */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = words(col("text"))
+    val bg = shingles(col("text"), 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        size(bg).as("n_bigrams"),
+        size(array_distinct(bg)).as("n_distinct_bigrams"),
+        array_max(transform(array_distinct(toks),
+          w => size(filter(toks, t => t === w)))).as("top_word_n"))
+      .withColumn("dup_bigram_frac",
+        round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 4))
+      .withColumn("top_word_frac",
+        round(col("top_word_n").cast("double") / col("n_words"), 4))
+      .withColumn("keep",
+        col("dup_bigram_frac") <= 0.05 && col("top_word_frac") <= 0.09)
+      .select("doc_id", "n_words", "dup_bigram_frac", "top_word_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Denylist scrubbing — the blocklist-redaction stage (PII patterns,
+    * banned terms) every corpus run applies before training. Token-exact:
+    * transform the token array (word-boundary safe, unlike a naive
+    * regexp over the raw string), count redactions per doc. Single
+    * scan, no shuffle. */
+  def scrubDenylist(s: SparkSession, d: String): DataFrame = {
+    val deny = Seq("customer", "order", "key")
+    val toks = words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(toks, w => w.isInCollection(deny))).as("n_redacted"),
+        concat_ws(" ",
+          transform(toks, w =>
+            when(w.isInCollection(deny), "[REDACTED]").otherwise(w))).as("scrubbed"))
+      .select(col("doc_id"), col("n_redacted"),
+        substring(col("scrubbed"), 1, 60).as("scrub_prefix"),
+        length(col("scrubbed")).as("scrub_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document bigram-LM negative log-likelihood — perplexity-style
+    * quality scoring against a corpus-trained LM (the model-based filter
+    * of CCNet/Gopher, with the corpus itself as the LM). P(w2|w1) =
+    * count(w1 w2) / count(w1 ·) over ALL docs; doc score = mean −ln P
+    * over its bigrams. The LM is vocab²-sized → broadcast to the doc
+    * scan (corpus never shuffles); per-bigram ln P rounds to 6 decimals
+    * and sums as DECIMAL so the aggregate is partition-order-exact in
+    * both engines. */
+  def perplexity(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+    val counts = bg.groupBy("bg").agg(count(lit(1)).as("n_bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val prefix = counts.groupBy("w1").agg(sum("n_bg").as("n_prefix"))
+    val lm = counts.join(prefix, "w1")
+      .select(col("bg"),
+        round(log(col("n_bg").cast("double") / col("n_prefix")), 6)
+          .cast("decimal(18,6)").as("ll"))
+    bg.join(broadcast(lm), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ll").as("ll_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("ll_sum").cast("double") / col("n_bigrams"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- B44
   /** Exact n-gram (3-shingle) Jaccard near-dup scoring on a bounded doc
     * subset: inverted-index self-join on shingles → intersection counts →
@@ -445,7 +517,10 @@ object TextOps {
     "llm_pipeline"      -> (curationPipeline(_, _)),
     "llm_sample"        -> (sampleByHash(_, _)),
     "llm_tfidf"         -> (tfidf(_, _)),
-    "llm_pack"          -> (packTokens(_, _))
+    "llm_pack"          -> (packTokens(_, _)),
+    "llm_repetition"    -> (repetitionFilter(_, _)),
+    "llm_scrub"         -> (scrubDenylist(_, _)),
+    "llm_perplexity"    -> (perplexity(_, _))
   )
 
   private val tokCte =
@@ -454,6 +529,51 @@ object TextOps {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "llm_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+        |    len(w) - 1 AS n_bg,
+        |    len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1]))) AS n_dbg,
+        |    list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) AS topw
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(1 - CAST(n_dbg AS DOUBLE) / n_bg, 4) AS dup_bigram_frac,
+        |  round(CAST(topw AS DOUBLE) / n_words, 4) AS top_word_frac,
+        |  (round(1 - CAST(n_dbg AS DOUBLE) / n_bg, 4) <= 0.05
+        |   AND round(CAST(topw AS DOUBLE) / n_words, 4) <= 0.09) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "llm_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x IN ('customer', 'order', 'key'))) AS INT) AS n_redacted,
+        |    array_to_string(list_transform(w,
+        |      x -> CASE WHEN x IN ('customer', 'order', 'key')
+        |           THEN '[REDACTED]' ELSE x END), ' ') AS scrubbed
+        |  FROM t)
+        |SELECT doc_id, n_redacted,
+        |  substring(scrubbed, 1, 60) AS scrub_prefix,
+        |  CAST(length(scrubbed) AS INT) AS scrub_len
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "llm_perplexity" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ') AS bg
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i)),
+        |counts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg GROUP BY bg),
+        |prefix AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, SUM(n_bg) AS n_prefix
+        |  FROM counts GROUP BY 1),
+        |lm AS (
+        |  SELECT bg, CAST(round(ln(CAST(n_bg AS DOUBLE) / n_prefix), 6) AS DECIMAL(18,6)) AS ll
+        |  FROM counts JOIN prefix ON string_split(counts.bg, ' ')[1] = prefix.w1)
+        |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(SUM(ll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+        |FROM bg JOIN lm USING (bg) GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     "llm_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')

@@ -247,6 +247,76 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Squared L2 distance in double precision (codegen'd HOFs). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** One Lloyd assignment pass: nearest centroid per vector. Same
+    * map-side argmin shape as [[assignCells]] — the centroid table
+    * collapses to ONE broadcast array row, the corpus never shuffles.
+    * dist rounds to 9 decimals so inertia can sum as exact DECIMAL. */
+  def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents.agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+    emb.join(broadcast(centsArr))
+      .select(col("vec_id"), col("embedding"),
+        element_at(array_sort(transform(col("cents"), c => struct(
+          round(l2sq(col("embedding"), c.getField("cvec")), 9).as("dist"),
+          c.getField("cell").as("cell")))), 1).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cell").as("cell"), col("best.dist").as("dist"))
+  }
+
+  /** One Lloyd update pass: per-cell mean vector. posexplode to
+    * (cell, dim, x) then ONE hash aggregate per (cell, dim) — map-side
+    * partial sums mean the shuffle carries k×dim partials per task, not
+    * vectors — and the k-row result reassembles each centroid by
+    * sorting its (dim, mean) structs. */
+  def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("embedding")))
+      .toDF("cell", "i", "x")
+      .groupBy("cell", "i")
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("i"), (col("sx") / col("n")).as("m"))).as("dims"))
+      .select(col("cell"),
+        transform(array_sort(col("dims")), s => s.getField("m")).as("cvec"))
+
+  /** K-means (Lloyd) centroid training — how production IVF centroids
+    * are actually fit (the fixed vec_id<8 seeds in [[annIvf]] are the
+    * iteration-0 state). K centroids live on the driver between rounds
+    * (k×dim doubles — model state, the same contract as MLlib KMeans);
+    * the corpus is touched once per round, map-side only. Returns the
+    * final assignment and the per-round inertia trace (Lloyd guarantees
+    * it non-increasing — VectorOpsSpec asserts it). */
+  def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 5): (DataFrame, Seq[Double]) = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    val inertias = Seq.newBuilder[Double]
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      assigned = kmeansAssign(emb, cents).localCheckpoint()
+      inertias += assigned.agg(sum(col("dist").cast("decimal(28,9)")))
+        .head().getDecimal(0).doubleValue()
+      cents = kmeansUpdate(assigned)
+    }
+    (assigned, inertias.result())
+  }
+
+  /** Per-cell summary of the trained clustering (rows-only: double mean
+    * chains are partition-order-sensitive at the ulp; the Lloyd
+    * monotonicity + coverage invariants are scalatest-verified). */
+  def kmeansSummary(s: SparkSession, d: String): DataFrame =
+    kmeans(s, d)._1
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("dist").cast("decimal(28,9)")).cast("double")
+          / count(lit(1)), 4).as("mean_dist"))
+      .orderBy("cell")
+
   /** Vector stats: exact norms and dimension checks per vector subset. */
   def embedStats(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -264,7 +334,8 @@ object VectorOps {
     "llm_embed_stats"   -> (embedStats(_, _)),
     "llm_centroid"      -> (labelCentroids(_, _)),
     "llm_sim_prenorm"   -> (simSearchPrenorm(_, _)),
-    "llm_embed_lsh"     -> (embedLshPairs(_, _))
+    "llm_embed_lsh"     -> (embedLshPairs(_, _)),
+    "llm_kmeans"        -> (kmeansSummary(_, _))
   )
 
   def oracles: Map[String, String] = Map(

@@ -63,6 +63,25 @@ object StreamOps {
         col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** Left-outer stream-stream interval join: every purchase emits
+    * exactly once — enriched when a signup matched within the hour,
+    * with nulls once the watermark PROVES no match can still arrive
+    * (before that, "no match yet" is indistinguishable from "match in
+    * flight", which is why outer stream joins demand both watermarks
+    * and an event-time range bound; without them the null row could
+    * never be emitted and match state could never be evicted). */
+  def purchasesWithSignupOuter(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   /** B42 stateful dedup on event_id within the watermark — streaming
     * idempotent ingest (the reference's Entry::Vacant gate, A4). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

@@ -88,7 +88,7 @@ class PlanSpec extends SparkSpec {
     val modules: Seq[Map[String, Any]] = Seq(
       ChunkCatalog.queries, Relational.queries, ScalarFns.queries,
       Windows.queries, TextOps.queries, VectorOps.queries,
-      Multimodal.queries, SqlQueries.queries)
+      Multimodal.queries, SqlQueries.queries, GraphOps.queries)
     val total = modules.map(_.size).sum
     // Map ++ silently shadows duplicates — a collision would drop a query
     assert(SparkEntry.queries.size == total,
@@ -103,7 +103,8 @@ class PlanSpec extends SparkSpec {
       "llm_ann_ivf",
       "llm_dedup_minhash", "llm_simhash", "llm_simhash_neardup",
       "llm_simhash_band",
-      "llm_centroid", "llm_sim_prenorm", "source_binaryfile"),
+      "llm_centroid", "llm_sim_prenorm", "source_binaryfile",
+      "llm_embed_lsh", "llm_kmeans"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

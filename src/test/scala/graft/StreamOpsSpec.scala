@@ -119,6 +119,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null rows once the watermark proves no match") {
+    implicit val sq = spark.sqlContext
+    val pm = MemoryStream[Ev]
+    val sm = MemoryStream[Ev]
+    val name = s"out_${System.nanoTime()}"
+    val q = StreamOps.purchasesWithSignupOuter(pm.toDF(), sm.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      sm.addData(Seq(
+        Ev(10, ts(0), 1, "signup", 0),    // in window for purchase @30
+        Ev(11, ts(0), 2, "signup", 0)))   // user 2: purchase too late
+      pm.addData(Seq(
+        Ev(20, ts(30), 1, "purchase", 5), // joins signup @0
+        Ev(21, ts(90), 2, "purchase", 5), // signup out of window → null row
+        Ev(22, ts(40), 3, "purchase", 5)))// no signup at all → null row
+      q.processAllAvailable()
+      // only the watermark advancing can release the unmatched rows
+      pm.addData(Seq(Ev(98, ts(600), 9, "purchase", 0)))
+      sm.addData(Seq(Ev(99, ts(600), 9, "signup", 0)))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("p_id", "s_ts").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(rows(20L).nonEmpty)          // matched: signup ts present
+      assert(rows(21L).isEmpty)           // out-of-interval: null-extended
+      assert(rows(22L).isEmpty)           // never signed up: null-extended
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream with a batch dim table") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -96,6 +96,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(exhaustive.nonEmpty)
   }
 
+  test("k-means: Lloyd inertia is non-increasing; every vector lands in a valid cell") {
+    val (assigned, trace) = VectorOps.kmeans(spark, sf, k = 8, iters = 4)
+    assert(trace.length == 4)
+    trace.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6, s"inertia rose: $trace")
+      case _ =>
+    }
+    assert(trace.last < trace.head) // it actually learned something
+    val cells = assigned.select("cell").as[Int].collect()
+    assert(cells.length == Tables.embeddings(spark, sf).count())
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
   test("IVF ANN recall@5 vs brute force ≥ 0.4 with 2/8 cells probed") {
     val bf = VectorOps.simSearch(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
