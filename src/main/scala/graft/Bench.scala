@@ -30,7 +30,13 @@ object Bench {
           false
       }
       // a failed query reports -1, never a plausible-looking duration
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // iterative queries (connected components, k-means) leave
+      // localCheckpoint blocks behind; dropping them between queries
+      // keeps one query's state from stealing memory from the next
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan/timing probe (dev tool, not part of the driver contract). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Unit = {
+      val fn = SparkEntry.queries(name)
+      // warm
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(s"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s (warm)")
+    }
+    args.drop(1).foreach { name =>
+      run(name)
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

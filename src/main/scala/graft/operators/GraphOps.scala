@@ -53,6 +53,10 @@ object GraphOps {
       val cur = score(next)
       done = cur.compareTo(prev) == 0
       prev = cur
+      // next is already materialized (localCheckpoint is eager), so the
+      // superseded round's blocks can go — otherwise every round's
+      // label table stays pinned in the block manager for the whole run
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }

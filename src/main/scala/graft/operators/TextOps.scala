@@ -87,6 +87,32 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Reproducible 16-way shard assignment + export manifest — how a
+    * curated corpus ships to trainers: shard = first md5 nibble of
+    * doc_id (content-addressed, cluster-size-independent, same rule as
+    * [[sampleByHash]]), manifest = per-shard doc/token totals and id
+    * range, the integrity record the consumer checks before training.
+    * One scan + one 16-group aggregate; [[writeShards]] materializes
+    * the layout with `shard` as a partition column (ScaleSpec proves a
+    * single-shard read prunes the other 15 directories). */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("shard"),
+        size(words(col("text"))).as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  /** Materialize the sharded corpus layout (partition column = shard). */
+  def writeShards(s: SparkSession, d: String, out: String): Unit =
+    Tables.documents(s, d)
+      .withColumn("shard",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+
   // ---------------------------------------------------------------- B46
   /** Corpus stats rollup per (lang, source): doc/word/char counts. */
   def textStats(s: SparkSession, d: String): DataFrame =
@@ -179,13 +205,23 @@ object TextOps {
   def repetitionFilter(s: SparkSession, d: String): DataFrame = {
     val toks = words(col("text"))
     val bg = shingles(col("text"), 2)
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(toks).as("n_words"),
-        size(bg).as("n_bigrams"),
-        size(array_distinct(bg)).as("n_distinct_bigrams"),
-        array_max(transform(array_distinct(toks),
-          w => size(filter(toks, t => t === w)))).as("top_word_n"))
+    val docs = Tables.documents(s, d)
+    // top word per doc via explode + (doc, word) counts + max — linear
+    // in tokens and map-side-combined, vs a per-row nested filter that
+    // is O(vocab × words) per document (6.9 s → ~1 s at sf0.1)
+    val topw = docs.select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_n"))
+    docs
+      // two-step projection: the shingle array materializes ONCE and
+      // both counts read it — inlined, Catalyst rebuilds the (expensive)
+      // array per use, and CollapseProject keeps multi-use non-cheap
+      // projections separate, so this split is load-bearing
+      .select(col("doc_id"), size(toks).as("n_words"), bg.as("bgs"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("bgs")).as("n_bigrams"),
+        size(array_distinct(col("bgs"))).as("n_distinct_bigrams"))
+      .join(topw, "doc_id")
       .withColumn("dup_bigram_frac",
         round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 4))
       .withColumn("top_word_frac",
@@ -225,8 +261,13 @@ object TextOps {
     * and sums as DECIMAL so the aggregate is partition-order-exact in
     * both engines. */
   def perplexity(s: SparkSession, d: String): DataFrame = {
+    // the exploded bigram stream feeds BOTH the LM aggregation and the
+    // per-doc scoring join; caching it is the single-job analog of
+    // materializing the tokenized corpus once (what a production
+    // pipeline does) instead of re-exploding the corpus per consumer
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .persist()
     val counts = bg.groupBy("bg").agg(count(lit(1)).as("n_bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     val prefix = counts.groupBy("w1").agg(sum("n_bg").as("n_prefix"))
@@ -520,7 +561,8 @@ object TextOps {
     "llm_pack"          -> (packTokens(_, _)),
     "llm_repetition"    -> (repetitionFilter(_, _)),
     "llm_scrub"         -> (scrubDenylist(_, _)),
-    "llm_perplexity"    -> (perplexity(_, _))
+    "llm_perplexity"    -> (perplexity(_, _)),
+    "llm_shard"         -> (shardManifest(_, _))
   )
 
   private val tokCte =
@@ -574,6 +616,15 @@ object TextOps {
         |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  round(-CAST(SUM(ll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
         |FROM bg JOIN lm USING (bg) GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+    "llm_shard" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
     "llm_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')

@@ -298,7 +298,11 @@ object VectorOps {
     val inertias = Seq.newBuilder[Double]
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
+      val prev = assigned
       assigned = kmeansAssign(emb, cents).localCheckpoint()
+      // the new assignment is materialized (eager checkpoint), so the
+      // previous round's blocks — which it no longer depends on — can go
+      if (prev != null) prev.unpersist(blocking = false)
       inertias += assigned.agg(sum(col("dist").cast("decimal(28,9)")))
         .head().getDecimal(0).doubleValue()
       cents = kmeansUpdate(assigned)
@@ -316,6 +320,29 @@ object VectorOps {
         round(sum(col("dist").cast("decimal(28,9)")).cast("double")
           / count(lit(1)), 4).as("mean_dist"))
       .orderBy("cell")
+
+  /** Int8 symmetric quantization — the storage/bandwidth optimization
+    * for embedding corpora (4× smaller, SIMD-friendly dot products).
+    * Per-vector scale = max|x|/127; q = round(x·127/max|x|). The
+    * declared output is engine-exact: the integer checksum of the
+    * quantized vector (no float hash risk) plus the rounded max
+    * reconstruction error — both recomputable in DuckDB, so this IS
+    * oracle-checked, unlike typical float pipelines. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("maxabs"))
+      .select(col("vec_id"),
+        round(col("maxabs"), 6).as("scale_maxabs"),
+        aggregate(
+          transform(col("embedding"),
+            x => round(x.cast("double") / col("maxabs") * 127).cast("long")),
+          lit(0L), (a, q) => a + q).as("q_checksum"),
+        round(array_max(transform(col("embedding"),
+          x => abs(x.cast("double")
+            - round(x.cast("double") / col("maxabs") * 127) * col("maxabs") / 127))), 6)
+          .as("max_err"))
+      .orderBy("vec_id")
 
   /** Vector stats: exact norms and dimension checks per vector subset. */
   def embedStats(s: SparkSession, d: String): DataFrame =
@@ -335,7 +362,8 @@ object VectorOps {
     "llm_centroid"      -> (labelCentroids(_, _)),
     "llm_sim_prenorm"   -> (simSearchPrenorm(_, _)),
     "llm_embed_lsh"     -> (embedLshPairs(_, _)),
-    "llm_kmeans"        -> (kmeansSummary(_, _))
+    "llm_kmeans"        -> (kmeansSummary(_, _)),
+    "llm_quantize"      -> (quantizeInt8(_, _))
   )
 
   def oracles: Map[String, String] = Map(
@@ -388,6 +416,18 @@ object VectorOps {
         |  WHERE a.vec_id < 100 AND b.vec_id < 100)
         |SELECT id_a, id_b, label, sim FROM cos WHERE sim > 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id, round(maxabs, 6) AS scale_maxabs,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) / maxabs * 127) AS BIGINT))) AS BIGINT) AS q_checksum,
+        |  round(list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)
+        |      - round(CAST(x AS DOUBLE) / maxabs * 127) * maxabs / 127))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "llm_embed_stats" ->
       """SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         |  CAST(MIN(len(embedding)) AS INT) AS min_dim,

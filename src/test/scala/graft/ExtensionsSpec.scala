@@ -31,4 +31,31 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("optimizer rule folds hamming_dist(x, x) to a null-safe constant") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val df = Seq(Some("1010"), None).toDF("s")
+        .selectExpr("s", "hamming_dist(s, s) AS d")
+      // the self-compare never reaches execution: the optimized plan has
+      // no HammingDist left
+      val folded = !df.queryExecution.optimizedPlan.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.NativeExpressions.HammingDist]))
+      assert(folded, df.queryExecution.optimizedPlan.toString)
+      val rows = df.collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+      assert(rows(Some("1010")) == Some(0)) // non-null folds to 0
+      assert(rows(None).isEmpty)            // null stays null
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }

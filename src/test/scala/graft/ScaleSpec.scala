@@ -141,6 +141,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("shard export layout: 16 shard dirs, single-shard read prunes the other 15") {
+    val path = Files.createTempDirectory("graft_shard").resolve("corpus").toString
+    graft.operators.TextOps.writeShards(spark, sf, path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(dirs.size == 16, s"expected 16 shard dirs, got $dirs")
+    val one = spark.read.parquet(path).filter(col("shard") === "a")
+    val scan = one.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("FileScan")).getOrElse(fail("no scan"))
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+      scan.takeRight(800))
+    // manifest totals reconcile with the materialized layout
+    val manifest = graft.operators.TextOps.shardManifest(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one.count() == manifest("a"))
+    assert(manifest.values.sum == Tables.documents(spark, sf).count())
+  }
+
   test("ingest catalog partition layout prunes on dataset_id") {
     val path = Files.createTempDirectory("graft_cat").resolve("cat").toString
     val batch = Seq(
