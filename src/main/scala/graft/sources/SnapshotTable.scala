@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest/snapshot table commits — the lake-scale transaction the
+  * directory-swap in [[Ingest.compact]]/[[Ingest.deleteChunk]] stands in
+  * for locally. The reference swaps RocksDB column families under a lock
+  * (/root/reference/src/rocksdb_storage_engine.rs:105-136); at 100 TB on
+  * an object store neither a lock nor a directory rename exists, so the
+  * industry shape (Iceberg/Delta) is:
+  *
+  *  - data files are IMMUTABLE and written to unique paths, so a commit
+  *    never overwrites anything a reader could be holding;
+  *  - a snapshot is a MANIFEST (complete file listing + stats), written
+  *    whole-or-absent;
+  *  - publishing is one atomic pointer swap (HEAD → manifest-N). Locally
+  *    that is `Files.move(ATOMIC_MOVE)`; on S3/GCS it becomes a
+  *    conditional PUT (If-Match) or a metastore CAS — the single line
+  *    that changes per deployment.
+  *
+  * Readers resolve HEAD once and then read only immutable paths: they
+  * see a consistent snapshot regardless of concurrent commits, and old
+  * versions stay readable (time travel) until a GC pass drops manifests.
+  *
+  * Layout: `<table>/data/<uuid>/part-*.parquet`,
+  * `<table>/manifests/manifest-<version>`, `<table>/HEAD`.
+  */
+object SnapshotTable {
+
+  private def manifestDir(table: String): Path = Paths.get(table, "manifests")
+  private def headPath(table: String): Path = Paths.get(table, "HEAD")
+
+  private def writeManifest(table: String, version: Long, files: Seq[String],
+      rows: Long): Path = {
+    val p = manifestDir(table).resolve(f"manifest-$version%05d")
+    val body = (s"version=$version" +: s"rows=$rows" +: files).mkString("\n")
+    Files.createDirectories(p.getParent)
+    Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+    p
+  }
+
+  private def readManifest(p: Path): (Long, Long, Seq[String]) = {
+    val lines = Files.readAllLines(p).asScala.toSeq
+    val version = lines.head.stripPrefix("version=").toLong
+    val rows = lines(1).stripPrefix("rows=").toLong
+    (version, rows, lines.drop(2))
+  }
+
+  /** Current committed version, or 0 if the table is empty. */
+  def currentVersion(table: String): Long = {
+    val h = headPath(table)
+    if (Files.exists(h))
+      new String(Files.readAllBytes(h), StandardCharsets.UTF_8)
+        .trim.stripPrefix("manifest-").toLong
+    else 0L
+  }
+
+  /** All committed versions, oldest first (every one is time-travelable). */
+  def versions(table: String): Seq[Long] = {
+    val d = manifestDir(table)
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString.stripPrefix("manifest-").toLong)
+      .toSeq.sorted
+  }
+
+  /** Commit `df` as the next snapshot. `append = true` carries the
+    * previous snapshot's files forward; `false` replaces the listing
+    * (the data files it replaced remain on disk for time travel).
+    * Returns the new version. */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+      append: Boolean = true): Long = {
+    // 1. immutable data files at a unique path — invisible until published
+    val dataDir = Paths.get(table, "data", UUID.randomUUID().toString)
+    df.write.parquet(dataDir.toString)
+    val newFiles = Files.list(dataDir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val newRows = spark.read.parquet(newFiles: _*).count()
+    // 2. whole-or-absent manifest for the next version
+    val prev = currentVersion(table)
+    val (prevRows, prevFiles) =
+      if (append && prev > 0) {
+        val (_, r, f) = readManifest(manifestDir(table).resolve(f"manifest-$prev%05d"))
+        (r, f)
+      } else (0L, Seq.empty[String])
+    val version = prev + 1
+    writeManifest(table, version, prevFiles ++ newFiles, prevRows + newRows)
+    // 3. atomic publish: the ONLY mutation of shared state in the whole
+    // protocol; swap this line for a conditional PUT on an object store
+    val tmp = headPath(table).resolveSibling(s"HEAD.tmp-${UUID.randomUUID()}")
+    Files.write(tmp, f"manifest-$version%05d".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, headPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** Read the current snapshot (resolves HEAD exactly once). */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readVersion(spark, table, currentVersion(table))
+
+  /** Time travel: read snapshot `version` as of its commit. */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    require(version > 0, s"no committed snapshot in $table")
+    val (_, _, files) =
+      readManifest(manifestDir(table).resolve(f"manifest-$version%05d"))
+    spark.read.parquet(files: _*)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_snap").resolve("t").toString
+
+  test("append commits accumulate; every version stays time-travelable") {
+    val t = tmp()
+    val v1 = SnapshotTable.commit(spark, t, (1 to 100).toDF("n"))
+    val v2 = SnapshotTable.commit(spark, t, (101 to 150).toDF("n"))
+    assert((v1, v2) == (1L, 2L))
+    assert(SnapshotTable.read(spark, t).count() == 150)
+    assert(SnapshotTable.readVersion(spark, t, 1).count() == 100)
+    assert(SnapshotTable.versions(t) == Seq(1L, 2L))
+  }
+
+  test("overwrite commit replaces the listing; replaced data stays readable at old versions") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 10).toDF("n"))
+    SnapshotTable.commit(spark, t, (11 to 20).toDF("n"))
+    val v3 = SnapshotTable.commit(spark, t, Seq(999).toDF("n"), append = false)
+    assert(v3 == 3L)
+    assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq == Seq(999))
+    assert(SnapshotTable.readVersion(spark, t, 2).count() == 20)
+  }
+
+  test("a reader pinned to an old snapshot is untouched by a concurrent commit") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 50).toDF("n"))
+    val pinned = SnapshotTable.readVersion(spark, t, 1) // resolves files now
+    SnapshotTable.commit(spark, t, (51 to 60).toDF("n"))
+    SnapshotTable.commit(spark, t, Seq(-1).toDF("n"), append = false)
+    // the pinned plan still reads exactly snapshot 1: immutable files
+    assert(pinned.agg(sum($"n")).head.getLong(0) == (1 to 50).sum)
+    assert(SnapshotTable.read(spark, t).count() == 1)
+  }
+
+  test("no partial state: HEAD always points at a complete manifest") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 5).toDF("n"))
+    val head = java.nio.file.Paths.get(t, "HEAD")
+    val m = new String(java.nio.file.Files.readAllBytes(head)).trim
+    val manifest = java.nio.file.Paths.get(t, "manifests", m)
+    assert(java.nio.file.Files.exists(manifest))
+    // no stray tmp pointers left behind
+    val strays = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+      .iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (strays.hasNext) names += strays.next().getFileName.toString
+    assert(!names.exists(_.startsWith("HEAD.tmp")), names.mkString(","))
+  }
+}
