@@ -73,29 +73,69 @@ object SnapshotTable {
     * (the data files it replaced remain on disk for time travel).
     * Returns the new version. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-      append: Boolean = true): Long = {
-    // 1. immutable data files at a unique path — invisible until published
+      append: Boolean = true): Long =
+    commitWithMeta(spark, table, df, append, meta = Seq.empty)
+
+  /** Idempotent commit for streaming `foreachBatch`: micro-batch
+    * `batchId` is recorded in the manifest; a replayed batch (restart
+    * after a crash between sink write and checkpoint advance — the gap
+    * exactly-once sinks must close) is detected and skipped, so the
+    * sink commits each batch ONCE no matter how often it is retried. */
+  def commitBatch(spark: SparkSession, table: String, df: DataFrame,
+      batchId: Long): Long = {
+    val prev = currentVersion(table)
+    if (prev > 0) {
+      val (_, _, lines) = readManifest(
+        manifestDir(table).resolve(f"manifest-$prev%05d"))
+      // committed batch ids ride in the manifest as comment lines
+      if (lines.exists(_ == s"#batch=$batchId")) return prev
+    }
+    commitWithMeta(spark, table, df, append = true, meta = Seq(s"#batch=$batchId"))
+  }
+
+  private def commitWithMeta(spark: SparkSession, table: String, df: DataFrame,
+      append: Boolean, meta: Seq[String]): Long = {
     val dataDir = Paths.get(table, "data", UUID.randomUUID().toString)
     df.write.parquet(dataDir.toString)
     val newFiles = Files.list(dataDir).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
     val newRows = spark.read.parquet(newFiles: _*).count()
-    // 2. whole-or-absent manifest for the next version
     val prev = currentVersion(table)
-    val (prevRows, prevFiles) =
+    val (prevRows, prevLines) =
       if (append && prev > 0) {
         val (_, r, f) = readManifest(manifestDir(table).resolve(f"manifest-$prev%05d"))
         (r, f)
       } else (0L, Seq.empty[String])
     val version = prev + 1
-    writeManifest(table, version, prevFiles ++ newFiles, prevRows + newRows)
-    // 3. atomic publish: the ONLY mutation of shared state in the whole
-    // protocol; swap this line for a conditional PUT on an object store
+    // carry prior batch markers forward so replay detection sees history
+    writeManifest(table, version, meta ++ prevLines ++ newFiles, prevRows + newRows)
     val tmp = headPath(table).resolveSibling(s"HEAD.tmp-${UUID.randomUUID()}")
     Files.write(tmp, f"manifest-$version%05d".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, headPath(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     version
+  }
+
+  /** Drop all manifests older than the `keepLast` most recent and delete
+    * data files no surviving manifest references — the GC pass that
+    * bounds time-travel history (Iceberg's expire_snapshots). Safe by
+    * construction: a file is deleted only when NO kept manifest lists
+    * it, and readers pinned to kept versions only hold kept files. */
+  def expireSnapshots(table: String, keepLast: Int): Seq[String] = {
+    val all = versions(table)
+    if (all.size <= keepLast) return Seq.empty
+    val (drop, keep) = all.splitAt(all.size - keepLast)
+    val kept = keep.flatMap { v =>
+      readManifest(manifestDir(table).resolve(f"manifest-$v%05d"))._3
+    }.filterNot(_.startsWith("#")).toSet
+    val dropped = drop.flatMap { v =>
+      val p = manifestDir(table).resolve(f"manifest-$v%05d")
+      val files = readManifest(p)._3.filterNot(_.startsWith("#"))
+      Files.delete(p)
+      files
+    }.distinct.filterNot(kept)
+    dropped.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    dropped
   }
 
   /** Read the current snapshot (resolves HEAD exactly once). */
@@ -105,8 +145,9 @@ object SnapshotTable {
   /** Time travel: read snapshot `version` as of its commit. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     require(version > 0, s"no committed snapshot in $table")
-    val (_, _, files) =
+    val (_, _, lines) =
       readManifest(manifestDir(table).resolve(f"manifest-$version%05d"))
-    spark.read.parquet(files: _*)
+    // "#"-prefixed lines are commit metadata (streaming batch markers)
+    spark.read.parquet(lines.filterNot(_.startsWith("#")): _*)
   }
 }

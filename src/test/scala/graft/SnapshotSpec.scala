@@ -41,6 +41,45 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 1)
   }
 
+  test("expireSnapshots drops old manifests + unreferenced files, keeps pinned versions intact") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 10).toDF("n"))
+    SnapshotTable.commit(spark, t, (11 to 20).toDF("n"))
+    SnapshotTable.commit(spark, t, Seq(42).toDF("n"), append = false)
+    val dropped = SnapshotTable.expireSnapshots(t, keepLast = 1)
+    assert(dropped.nonEmpty) // v1/v2 data is unreferenced by v3
+    dropped.foreach(f => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    assert(SnapshotTable.versions(t) == Seq(3L))
+    assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq == Seq(42))
+  }
+
+  test("foreachBatch sink: batch-id idempotence makes replayed micro-batches no-ops") {
+    implicit val sq = spark.sqlContext
+    val t = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = mem.toDF().writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => {
+        SnapshotTable.commitBatch(spark, t, df, id); ()
+      })
+      .start()
+    try {
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+      mem.addData(4, 5)
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, t).count() == 5)
+      val v = SnapshotTable.currentVersion(t)
+      // simulate the crash-replay window: the same micro-batch delivered
+      // again must not double-commit
+      val replay = Seq(4, 5).toDF("value")
+      assert(SnapshotTable.commitBatch(spark, t, replay, batchId = 1L) == v)
+      assert(SnapshotTable.read(spark, t).count() == 5)
+      // a genuinely new batch still commits
+      assert(SnapshotTable.commitBatch(spark, t, Seq(6).toDF("value"), 2L) == v + 1)
+      assert(SnapshotTable.read(spark, t).count() == 6)
+    } finally q.stop()
+  }
+
   test("no partial state: HEAD always points at a complete manifest") {
     val t = tmp()
     SnapshotTable.commit(spark, t, (1 to 5).toDF("n"))
