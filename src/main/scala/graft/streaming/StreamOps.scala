@@ -109,6 +109,27 @@ object StreamOps {
       }
   }
 
+  /** B42 `flatMapGroupsWithState`: zero-or-many outputs per group per
+    * batch — the state machine [[runningUserStats]] can't express
+    * (mapGroupsWithState must emit exactly one row per group). Emits an
+    * alert row for EACH threshold the user's running event count crosses
+    * in a batch (so one batch can emit several, or none). */
+  final case class Burst(userId: Long, threshold: Long)
+  def burstAlerts(events: Dataset[(Long, java.sql.Timestamp)],
+      thresholds: Seq[Long] = Seq(2L, 4L)): Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Burst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          thresholds.filter(t => before < t && t <= after)
+            .map(Burst(uid, _)).iterator
+      }
+  }
+
   /** [[runningUserStats]] on the current API: `transformWithState`
     * (Spark 4's successor to mapGroupsWithState). Typed `ValueState` in
     * the RocksDB state store, optional TTL per state variable, timers,

@@ -185,6 +185,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits zero-to-many alert rows as thresholds are crossed") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val name = s"out_${System.nanoTime()}"
+    val q = StreamOps.burstAlerts(mem.toDS()).toDF().writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, ts(0))))                    // user 1 → 1 event: no alert
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      mem.addData(Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(4))))
+      q.processAllAvailable()                          // 1 → 5: crosses 2 AND 4 in one batch
+      val alerts = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(alerts == Set((1L, 2L), (1L, 4L)))
+    } finally q.stop()
+  }
+
   test("transformWithState matches mapGroupsWithState's final per-user stats") {
     // transformWithState only runs on the RocksDB state store provider
     val key = "spark.sql.streaming.stateStore.providerClass"
