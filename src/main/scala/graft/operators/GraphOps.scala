@@ -83,8 +83,28 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** The full 100 TB dedup pipeline, corpus-wide: MinHash LSH band join
+    * proposes candidate pairs ([[TextOps.minhashPairs]], never O(n²)),
+    * connected components groups them into duplicate clusters, and the
+    * keeper is min(doc_id) per cluster. Output is the cluster-size
+    * histogram plus survivor count — the number a curation run reports.
+    * Rows-only (xxhash64 band family is not DuckDB-reproducible); the
+    * component math itself is oracle-proven by [[dedupClusters]]. */
+  def dedupGroups(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+    val edges = TextOps.minhashPairs(s, d)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = connectedComponents(nodes, edges)
+    labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("surviving_docs", col("n_clusters")) // one keeper each
+      .orderBy("cluster_size")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_dedup_cc" -> (dedupClusters(_, _))
+    "llm_dedup_cc"     -> (dedupClusters(_, _)),
+    "llm_dedup_groups" -> (dedupGroups(_, _))
   )
 
   def oracles: Map[String, String] = Map(

@@ -34,4 +34,12 @@ class GraphOpsSpec extends SparkSpec {
     // cluster ids are canonical minima: the component id labels itself
     labels.values.toSet.foreach((c: Long) => assert(labels(c) == c))
   }
+
+  test("dedupGroups: histogram covers every document exactly once") {
+    val hist = GraphOps.dedupGroups(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val covered = hist.map { case (size, n) => size * n }.sum
+    assert(covered == Tables.documents(spark, sf).count())
+    assert(hist.keySet.min >= 1L)
+  }
 }
