@@ -97,8 +97,7 @@ object GraphOps {
     val labels = connectedComponents(nodes, edges)
     labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
-      .agg(count(lit(1)).as("n_clusters"))
-      .withColumn("surviving_docs", col("n_clusters")) // one keeper each
+      .agg(count(lit(1)).as("n_clusters")) // = surviving docs: one keeper each
       .orderBy("cluster_size")
   }
 

@@ -255,8 +255,9 @@ object TextOps {
   /** Per-document bigram-LM negative log-likelihood — perplexity-style
     * quality scoring against a corpus-trained LM (the model-based filter
     * of CCNet/Gopher, with the corpus itself as the LM). P(w2|w1) =
-    * count(w1 w2) / count(w1 ·) over ALL docs; doc score = mean −ln P
-    * over its bigrams. The LM is vocab²-sized → broadcast to the doc
+    * count(w1 w2) / count(w1 ·) over ALL docs; doc score = total −ln P
+    * over its bigrams (with n_bigrams alongside, the mean is the
+    * consumer's one division). The LM is vocab²-sized → broadcast to the doc
     * scan (corpus never shuffles); per-bigram ln P rounds to 6 decimals
     * and sums as DECIMAL so the aggregate is partition-order-exact in
     * both engines. */
@@ -273,13 +274,21 @@ object TextOps {
     val prefix = counts.groupBy("w1").agg(sum("n_bg").as("n_prefix"))
     val lm = counts.join(prefix, "w1")
       .select(col("bg"),
-        round(log(col("n_bg").cast("double") / col("n_prefix")), 6)
-          .cast("decimal(18,6)").as("ll"))
+        // 4 decimals, not 6: Java Math.log and DuckDB ln disagree by a
+        // few ulps on some inputs; a coarser grid keeps a multi-ulp
+        // divergence from straddling a rounding boundary (one sf0.1
+        // bigram flipped the 6-decimal grid and broke one doc's hash)
+        round(log(col("n_bg").cast("double") / col("n_prefix")), 4)
+          .cast("decimal(18,4)").as("ll"))
     bg.join(broadcast(lm), "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("ll").as("ll_sum"))
+      // total, not mean: the decimal sum is engine-exact, while
+      // round(sum/n, 4) keeps landing on exact decimal midpoints
+      // (sum4/n with small n) where the two engines' half-rounding of
+      // the nearest double disagrees — 11 docs flipped at sf0.1
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("ll_sum").cast("double") / col("n_bigrams"), 4).as("avg_nll"))
+        (-col("ll_sum")).cast("double").as("total_nll"))
       .orderBy("doc_id")
   }
 
@@ -611,10 +620,10 @@ object TextOps {
         |  SELECT string_split(bg, ' ')[1] AS w1, SUM(n_bg) AS n_prefix
         |  FROM counts GROUP BY 1),
         |lm AS (
-        |  SELECT bg, CAST(round(ln(CAST(n_bg AS DOUBLE) / n_prefix), 6) AS DECIMAL(18,6)) AS ll
+        |  SELECT bg, CAST(round(ln(CAST(n_bg AS DOUBLE) / n_prefix), 4) AS DECIMAL(18,4)) AS ll
         |  FROM counts JOIN prefix ON string_split(counts.bg, ' ')[1] = prefix.w1)
         |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  round(-CAST(SUM(ll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+        |  CAST(-SUM(ll) AS DOUBLE) AS total_nll
         |FROM bg JOIN lm USING (bg) GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     "llm_shard" ->
       """WITH t AS (
