@@ -30,9 +30,13 @@ object GraphOps {
     * @return (`node`, `comp`) with comp = min reachable node id
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the (small) edge list ONCE: it joins into every
+    // round, and lazily it would re-run its whole upstream pipeline
+    // (e.g. the MinHash band join) per iteration — 3× the query cost
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint()
     // sum(comp) strictly decreases until the fixpoint — one Decimal
     // scalar to the driver per round, never the labels themselves
@@ -60,6 +64,7 @@ object GraphOps {
       labels = next
       iter += 1
     }
+    sym.unpersist(blocking = false)
     labels
   }
 
