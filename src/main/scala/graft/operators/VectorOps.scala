@@ -290,7 +290,8 @@ object VectorOps {
     * the corpus is touched once per round, map-side only. Returns the
     * final assignment and the per-round inertia trace (Lloyd guarantees
     * it non-increasing — VectorOpsSpec asserts it). */
-  def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 5): (DataFrame, Seq[Double]) = {
+  def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 5,
+      trackInertia: Boolean = true): (DataFrame, Seq[Double]) = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
@@ -303,8 +304,11 @@ object VectorOps {
       // the new assignment is materialized (eager checkpoint), so the
       // previous round's blocks — which it no longer depends on — can go
       if (prev != null) prev.unpersist(blocking = false)
-      inertias += assigned.agg(sum(col("dist").cast("decimal(28,9)")))
-        .head().getDecimal(0).doubleValue()
+      // the inertia trace exists for convergence monitoring/tests; a
+      // production fit skips the extra per-round aggregate job
+      if (trackInertia)
+        inertias += assigned.agg(sum(col("dist").cast("decimal(28,9)")))
+          .head().getDecimal(0).doubleValue()
       cents = kmeansUpdate(assigned)
     }
     (assigned, inertias.result())
@@ -314,7 +318,7 @@ object VectorOps {
     * chains are partition-order-sensitive at the ulp; the Lloyd
     * monotonicity + coverage invariants are scalatest-verified). */
   def kmeansSummary(s: SparkSession, d: String): DataFrame =
-    kmeans(s, d)._1
+    kmeans(s, d, trackInertia = false)._1
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("dist").cast("decimal(28,9)")).cast("double")
