@@ -126,6 +126,36 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** [[annIvf]] with TRAINED centroids: the Lloyd fit ([[kmeans]])
+    * replaces the fixed vec_id<8 seeds, so cells follow the data
+    * distribution — fewer near-boundary misses at the same nprobe.
+    * Training happens once per corpus build (amortized across every
+    * query); the per-query plan is identical to [[annIvf]]. Rows-only;
+    * VectorOpsSpec holds it to the same recall bar as the seeded form. */
+  def annIvfTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (assigned, _) = kmeans(s, d, trackInertia = false)
+    val cents = kmeansUpdate(assigned)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("cell"))
+    val probes = queries.join(broadcast(cents))
+      .select(col("query_id"), col("q"), col("cell"),
+        round(l2sq(col("q"), col("cvec")), 9).as("qdist"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select("query_id", "q", "cell")
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a label cluster:
     * the embedding analog of MinHash dedup. Bounded to vec_id < 100. */
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
@@ -367,7 +397,8 @@ object VectorOps {
     "llm_sim_prenorm"   -> (simSearchPrenorm(_, _)),
     "llm_embed_lsh"     -> (embedLshPairs(_, _)),
     "llm_kmeans"        -> (kmeansSummary(_, _)),
-    "llm_quantize"      -> (quantizeInt8(_, _))
+    "llm_quantize"      -> (quantizeInt8(_, _)),
+    "llm_ann_trained"   -> (annIvfTrained(_, _))
   )
 
   def oracles: Map[String, String] = Map(

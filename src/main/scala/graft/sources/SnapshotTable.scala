@@ -138,6 +138,21 @@ object SnapshotTable {
     dropped
   }
 
+  /** MERGE (upsert) by key — Delta/Iceberg's copy-on-write shape: rows
+    * in `updates` replace current rows with the same key, new keys
+    * append, everything else carries forward; the result commits as one
+    * new snapshot (old versions keep time-traveling). Copy-on-write
+    * rewrites the table ONCE per merge — the right trade when merges
+    * are batch-sized; merge-on-read (delete vectors) is the alternative
+    * when updates are frequent and small. The anti-join ships only
+    * keys, the same discipline as [[Ingest.ingest]]'s dedup. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      key: String): Long = {
+    val current = read(spark, table)
+    val kept = current.join(updates.select(key), Seq(key), "left_anti")
+    commit(spark, table, kept.unionByName(updates), append = false)
+  }
+
   /** Read the current snapshot (resolves HEAD exactly once). */
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(table))

@@ -105,6 +105,21 @@ class SnapshotSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("merge upserts by key and the pre-merge snapshot still time-travels") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val v2 = SnapshotTable.merge(spark, t,
+      Seq((2L, "B"), (4L, "d")).toDF("id", "v"), key = "id")
+    assert(v2 == 2L)
+    val now = SnapshotTable.read(spark, t)
+      .as[(Long, String)].collect().toMap
+    assert(now == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    val before = SnapshotTable.readVersion(spark, t, 1)
+      .as[(Long, String)].collect().toMap
+    assert(before == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("no partial state: HEAD always points at a complete manifest") {
     val t = tmp()
     SnapshotTable.commit(spark, t, (1 to 5).toDF("n"))

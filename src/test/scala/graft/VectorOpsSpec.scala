@@ -117,4 +117,19 @@ class VectorOpsSpec extends SparkSpec {
     val recall = bf.intersect(ivf).size.toDouble / bf.size
     assert(recall >= 0.4, s"recall=$recall (bf=$bf ivf=$ivf)")
   }
+
+  test("trained-centroid IVF holds the same recall bar as the seeded form") {
+    val bf = VectorOps.simSearch(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorOps.annIvfTrained(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall=$recall (bf=$bf ivf=$ivf)")
+    // structural sanity: 5 ranked rows per query, ranks 1..5
+    val rows = VectorOps.annIvfTrained(spark, sf)
+      .select("query_id", "rank").as[(Long, Long)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to 5L))
+    }
+  }
 }
