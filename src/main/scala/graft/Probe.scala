@@ -18,7 +18,7 @@ object Probe {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(s"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s (warm)")
+      println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s (warm)")
     }
     args.drop(1).foreach { name =>
       run(name)
