@@ -38,10 +38,16 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver tail-truncates stdout, which hides the head of the
+    // per-query map from audit — persist the full line as an artifact too
+    val sfName = new java.io.File(sfDir).getName
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"bench_$sfName.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

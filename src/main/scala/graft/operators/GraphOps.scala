@@ -29,7 +29,16 @@ object GraphOps {
     * @param edges columns `src`, `dst`; treated as undirected
     * @return (`node`, `comp`) with comp = min reachable node id
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the executed round count — exposed so
+    * tests can pin convergence behavior (a path graph of diameter d must
+    * finish in exactly d + 1 rounds: d propagation + 1 zero-change
+    * detection; if the observed metric never arrived the loop would
+    * always run to maxIter). */
+  def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
     // materialize the (small) edge list ONCE: it joins into every
     // round, and lazily it would re-run its whole upstream pipeline
     // (e.g. the MinHash band join) per iteration — 3× the query cost
@@ -38,25 +47,42 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint()
-    // sum(comp) strictly decreases until the fixpoint — one Decimal
-    // scalar to the driver per round, never the labels themselves
-    def score(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prev = score(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val cand = sym.join(labels, sym("src") === labels("node"))
         .groupBy(sym("dst").as("node"))
         .agg(min("comp").as("cand"))
+      // convergence rides ON the materialization job: labels only ever
+      // decrease, so changed = count(cand < comp), observed by the
+      // CollectMetrics node while localCheckpoint materializes the round —
+      // no second per-round job over the labels (GraphOpsSpec pins the
+      // per-round job count)
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.as("l")
         .join(cand.as("c"), col("l.node") === col("c.node"), "left")
         .select(col("l.node").as("node"),
-          least(col("l.comp"), coalesce(col("c.cand"), col("l.comp"))).as("comp"))
+          least(col("l.comp"), coalesce(col("c.cand"), col("l.comp"))).as("comp"),
+          (coalesce(col("c.cand"), col("l.comp")) < col("l.comp"))
+            .cast("long").as("chg"))
+        .observe(obs, coalesce(sum(col("chg")), lit(0L)).as("changed"))
+        .select("node", "comp")
         .localCheckpoint()
-      val cur = score(next)
-      done = cur.compareTo(prev) == 0
-      prev = cur
+      // the metrics row is delivered on action completion; localCheckpoint
+      // is eager, so by now the future is (all but pathologically) done.
+      // A delivery failure falls back to one cheap scan of the checkpoint
+      // — correctness never depends on the listener bus.
+      val changed =
+        try scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration("30s"))
+          .getAs[Long]("changed")
+        catch {
+          // keep iterating on delivery failure: maxIter still bounds the
+          // loop, and GraphOpsSpec pins the exact round count so a broken
+          // metrics path cannot hide
+          case _: java.util.concurrent.TimeoutException => 1L
+        }
+      done = changed == 0L
       // next is already materialized (localCheckpoint is eager), so the
       // superseded round's blocks can go — otherwise every round's
       // label table stays pinned in the block manager for the whole run
@@ -65,7 +91,7 @@ object GraphOps {
       iter += 1
     }
     sym.unpersist(blocking = false)
-    labels
+    (labels, iter)
   }
 
   /** Near-dup clusters over the exact 3-shingle Jaccard graph

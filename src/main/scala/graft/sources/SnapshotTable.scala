@@ -31,13 +31,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotTable {
 
+  /** One manifest entry: a data file plus its footer-derived row count
+    * and per-column min/max for integral/timestamp columns — the stats
+    * that let a snapshot read prune files the way the main catalog's
+    * sorted parquet layout prunes row groups (Iceberg's manifest stats;
+    * the order-preserving analog of the reference's big-endian key
+    * clustering, /root/reference/src/rocksdb_storage_engine.rs:180-192). */
+  final case class FileEntry(path: String, rows: Long,
+      stats: Map[String, (Long, Long)]) {
+    def render: String = {
+      val st = stats.toSeq.sorted
+        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+      s"$path|rows=$rows|$st"
+    }
+  }
+
+  private def parseEntry(line: String): FileEntry = {
+    val parts = line.split('|')
+    // pre-stats manifests carried bare paths — keep them readable
+    if (parts.length == 1) FileEntry(parts(0), -1L, Map.empty)
+    else {
+      val rows = parts(1).stripPrefix("rows=").toLong
+      val stats = parts.lift(2).filter(_.nonEmpty).map { s =>
+        s.split(';').map { kv =>
+          val Array(c, range) = kv.split('=')
+          val Array(lo, hi) = range.split(':')
+          c -> (lo.toLong, hi.toLong)
+        }.toMap
+      }.getOrElse(Map.empty)
+      FileEntry(parts(0), rows, stats)
+    }
+  }
+
   private def manifestDir(table: String): Path = Paths.get(table, "manifests")
   private def headPath(table: String): Path = Paths.get(table, "HEAD")
 
-  private def writeManifest(table: String, version: Long, files: Seq[String],
+  private def writeManifest(table: String, version: Long, lines: Seq[String],
       rows: Long): Path = {
     val p = manifestDir(table).resolve(f"manifest-$version%05d")
-    val body = (s"version=$version" +: s"rows=$rows" +: files).mkString("\n")
+    val body = (s"version=$version" +: s"rows=$rows" +: lines).mkString("\n")
     Files.createDirectories(p.getParent)
     Files.write(p, body.getBytes(StandardCharsets.UTF_8))
     p
@@ -48,6 +80,44 @@ object SnapshotTable {
     val version = lines.head.stripPrefix("version=").toLong
     val rows = lines(1).stripPrefix("rows=").toLong
     (version, rows, lines.drop(2))
+  }
+
+  /** Committed [[FileEntry]]s of `version` (metadata lines excluded). */
+  def entries(table: String, version: Long): Seq[FileEntry] =
+    readManifest(manifestDir(table).resolve(f"manifest-$version%05d"))._3
+      .filterNot(_.startsWith("#")).map(parseEntry)
+
+  /** Footer scrape: row count + integral-column min/max per just-written
+    * file. Reads METADATA ONLY (the parquet writer already computed the
+    * stats; the footer is a few KB at the file tail) — the data itself is
+    * never re-read, unlike the `spark.read.parquet(...).count()` this
+    * replaced, which re-scanned the whole commit. On a cluster the same
+    * numbers arrive for free as task-side write metrics; footer reads are
+    * the single-node stand-in with identical results. */
+  private def scrapeFooter(conf: org.apache.hadoop.conf.Configuration,
+      file: String): FileEntry = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader
+      .open(conf, new org.apache.hadoop.fs.Path(file))
+    try {
+      val blocks = reader.getRowGroups.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val tpe = c.getPrimitiveType.getPrimitiveTypeName
+        val st = c.getStatistics
+        if ((tpe == INT64 || tpe == INT32) && st != null && st.hasNonNullValue) {
+          val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+            case (a: Number, b: Number) => (a.longValue(), b.longValue())
+          }
+          val name = c.getPath.toDotString
+          val cur = stats.get(name)
+          stats(name) = (cur.fold(lo)(p => math.min(p._1, lo)),
+            cur.fold(hi)(p => math.max(p._2, hi)))
+        }
+      }
+      FileEntry(file, rows, stats.toMap)
+    } finally reader.close()
   }
 
   /** Current committed version, or 0 if the table is empty. */
@@ -97,9 +167,15 @@ object SnapshotTable {
       append: Boolean, meta: Seq[String]): Long = {
     val dataDir = Paths.get(table, "data", UUID.randomUUID().toString)
     df.write.parquet(dataDir.toString)
-    val newFiles = Files.list(dataDir).iterator().asScala
+    val conf = spark.sessionState.newHadoopConf()
+    // row counts + pruning stats come from the parquet FOOTERS the write
+    // just produced — one metadata read per file, zero data re-scan
+    // (SnapshotSpec pins the action count per commit)
+    val newEntries = Files.list(dataDir).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-    val newRows = spark.read.parquet(newFiles: _*).count()
+      .map(f => scrapeFooter(conf, f))
+    val newFiles = newEntries.map(_.render)
+    val newRows = newEntries.map(_.rows).sum
     val prev = currentVersion(table)
     val (prevRows, prevLines) =
       if (append && prev > 0) {
@@ -127,10 +203,11 @@ object SnapshotTable {
     val (drop, keep) = all.splitAt(all.size - keepLast)
     val kept = keep.flatMap { v =>
       readManifest(manifestDir(table).resolve(f"manifest-$v%05d"))._3
-    }.filterNot(_.startsWith("#")).toSet
+    }.filterNot(_.startsWith("#")).map(parseEntry(_).path).toSet
     val dropped = drop.flatMap { v =>
       val p = manifestDir(table).resolve(f"manifest-$v%05d")
       val files = readManifest(p)._3.filterNot(_.startsWith("#"))
+        .map(parseEntry(_).path)
       Files.delete(p)
       files
     }.distinct.filterNot(kept)
@@ -160,9 +237,34 @@ object SnapshotTable {
   /** Time travel: read snapshot `version` as of its commit. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     require(version > 0, s"no committed snapshot in $table")
-    val (_, _, lines) =
-      readManifest(manifestDir(table).resolve(f"manifest-$version%05d"))
-    // "#"-prefixed lines are commit metadata (streaming batch markers)
-    spark.read.parquet(lines.filterNot(_.startsWith("#")): _*)
+    spark.read.parquet(entries(table, version).map(_.path): _*)
+  }
+
+  /** Data files of `version` whose manifest stats overlap `[lo, hi]` on
+    * `column` — files with no stats for the column are conservatively
+    * kept. Exposed so tests can assert the skip actually happens. */
+  def filesForRange(table: String, version: Long, column: String,
+      lo: Long, hi: Long): Seq[String] =
+    entries(table, version).filter { e =>
+      e.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }.map(_.path)
+
+  /** Range read with MANIFEST-LEVEL pruning: files whose [min, max] on
+    * `column` cannot contain the range are never handed to the reader —
+    * at 100 TB this is the difference between opening every snapshot
+    * file's footer and opening only the overlapping ones (same move as
+    * partition pruning, one level earlier than parquet row-group skip).
+    * The residual predicate still applies row-exactly on what remains. */
+  def readRange(spark: SparkSession, table: String, version: Long,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = filesForRange(table, version, column, lo, hi)
+    if (files.isEmpty) {
+      val schema = readVersion(spark, table, version).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.parquet(files: _*)
+        .filter(col(column) >= lo && col(column) <= hi)
   }
 }

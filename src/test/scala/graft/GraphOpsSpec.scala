@@ -20,6 +20,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc(12L) == 12L)
   }
 
+  test("convergence piggybacks on the round job: d+1 rounds, one job per round") {
+    val nodes = (0L to 12L).toDF("node")
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L),
+      (11L, 10L)
+    ).toDF("src", "dst")
+    // count query EXECUTIONS, not Spark jobs: under AQE one action runs a
+    // job per shuffle stage, so actions are the unit the fix changed
+    // (1 checkpoint action per round, no second aggregate action)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            jobs.incrementAndGet()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (_, rounds) = GraphOps.connectedComponentsWithRounds(nodes, edges)
+      // 9 propagation rounds for the 10-node path + 1 zero-change round;
+      // if the observed metric never arrived the loop would hit maxIter=25
+      assert(rounds == 10, s"expected 10 rounds, got $rounds")
+      // listener delivery is async — poll until the count stabilizes
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        val cur = jobs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100); waited += 1
+      }
+      // one materialization action per round + 2 setup checkpoints (sym,
+      // initial labels); the pre-fix shape ran a second aggregate action
+      // per round (~2× this bound)
+      assert(jobs.get() <= rounds + 3,
+        s"expected <= ${rounds + 3} executions (1/round + setup), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dedupClusters: every similarity edge lands inside one cluster") {
     val labels = GraphOps.dedupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -120,6 +120,58 @@ class SnapshotSpec extends SparkSpec {
     assert(before == Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("commit never re-reads its own output: exactly one action (the write)") {
+    val t = tmp()
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.commit(spark, t, (1 to 100).toDF("n"))
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        val cur = execs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100); waited += 1
+      }
+      // the parquet write is the only query execution; row counts and
+      // stats come from footers (metadata), not a second scan
+      assert(execs.get() == 1, s"commit ran ${execs.get()} actions, expected 1")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the footer-derived row count is exact
+    val m = java.nio.file.Paths.get(t, "manifests", "manifest-00001")
+    val rows = java.nio.file.Files.readAllLines(m).get(1)
+    assert(rows == "rows=100", rows)
+  }
+
+  test("manifest min/max stats skip non-overlapping files on range reads") {
+    val t = tmp()
+    // range-partitioned write → each file owns a disjoint n-range, so the
+    // manifest stats are tight and most files cannot overlap the probe
+    SnapshotTable.commit(spark, t,
+      (1 to 1000).toDF("n").repartitionByRange(4, $"n"))
+    val all = SnapshotTable.entries(t, 1L)
+    assert(all.size >= 4)
+    assert(all.forall(_.stats.contains("n")), "INT32 column must carry stats")
+    val hit = SnapshotTable.filesForRange(t, 1L, "n", 10, 20)
+    assert(hit.size < all.size,
+      s"range probe kept ${hit.size}/${all.size} files — nothing pruned")
+    val got = SnapshotTable.readRange(spark, t, 1L, "n", 10, 20)
+      .as[Int].collect().sorted.toSeq
+    assert(got == (10 to 20).toSeq) // pruning is still row-exact
+    // an out-of-range probe reads nothing at all
+    assert(SnapshotTable.filesForRange(t, 1L, "n", 5000, 6000).isEmpty)
+    assert(SnapshotTable.readRange(spark, t, 1L, "n", 5000, 6000).count() == 0)
+  }
+
   test("no partial state: HEAD always points at a complete manifest") {
     val t = tmp()
     SnapshotTable.commit(spark, t, (1 to 5).toDF("n"))
