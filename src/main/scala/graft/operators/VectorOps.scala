@@ -126,19 +126,64 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  /** [[annIvf]] with TRAINED centroids: the Lloyd fit ([[kmeans]])
-    * replaces the fixed vec_id<8 seeds, so cells follow the data
-    * distribution — fewer near-boundary misses at the same nprobe.
-    * Training happens once per corpus build (amortized across every
-    * query); the per-query plan is identical to [[annIvf]]. Rows-only;
-    * VectorOpsSpec holds it to the same recall bar as the seeded form. */
+  /** Location of the TRAINED IVF layout for corpus `d` — derived data,
+    * cached outside the repo and the (read-only) testdata. The layout is
+    * deterministic (decimal-exact centroid updates, rounded distances),
+    * so any process may rebuild it and land on identical bytes. */
+  def trainedLayoutDir(d: String): String = {
+    val key = new java.io.File(d).getName
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-ivf-trained-v1-$key").toString
+  }
+
+  /** Train-ONCE corpus build for [[annIvfTrained]]: fit k-means (3 Lloyd
+    * rounds), materialize the assignment with `cell` as a partition
+    * column ([[writeIvfLayout]] shape) plus the trained centroid table,
+    * then publish atomically via directory rename. Idempotent — every
+    * later query is a pure probe. This is the amortization production
+    * systems do: training is part of the corpus build (like ingest), not
+    * of any single query's plan. */
+  def ensureTrainedLayout(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(trainedLayoutDir(d))
+    if (!new java.io.File(dir, "_BUILT").exists()) {
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".build-" + java.util.UUID.randomUUID())
+      val (assigned, _) = kmeans(s, d, iters = 3, trackInertia = false)
+      val cents = kmeansUpdate(assigned)
+      assigned.select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(new java.io.File(tmp, "corpus").toString)
+      cents.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "centroids").toString)
+      assigned.unpersist(blocking = false) // drop the training checkpoint
+      new java.io.File(tmp, "_BUILT").createNewFile()
+      // lost the publish race to a concurrent builder → identical layout
+      // already in place; discard ours
+      if (!tmp.renameTo(dir)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(tmp)
+      }
+    }
+    dir.toString
+  }
+
+  /** [[annIvf]] with TRAINED centroids — a PURE PROBE of the layout
+    * [[ensureTrainedLayout]] materialized: the Lloyd fit replaces the
+    * fixed vec_id<8 seeds (cells follow the data distribution), and the
+    * query itself never trains. The probed cell ids become literal
+    * partition filters, so every other cell directory is pruned at
+    * file-listing time (ScaleSpec asserts selectedPartitions). The tiny
+    * probe-cell collect is model-state scalar work on the driver, the
+    * same class as AQE's runtime decisions — the corpus is only ever
+    * touched by the pruned scan. Rows-only; VectorOpsSpec holds it to
+    * the same recall bar as the seeded form. */
   def annIvfTrained(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    // 3 Lloyd rounds: the demo query re-fits per invocation (production
-    // amortizes training across every query); recall is spec-tested
-    val (assigned, _) = kmeans(s, d, iters = 3, trackInertia = false)
-    val cents = kmeansUpdate(assigned)
-    val queries = emb.filter(col("vec_id") < 3)
+    val layout = ensureTrainedLayout(s, d)
+    val cents = s.read.parquet(s"$layout/centroids")
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("cell"))
     val probes = queries.join(broadcast(cents))
@@ -147,8 +192,12 @@ object VectorOps {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
       .select("query_id", "q", "cell")
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.get(0).toString.toInt).toSeq.sorted
+    val corpus = s.read.parquet(s"$layout/corpus")
+      .filter(col("cell").isin(cells: _*))
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(assigned, "cell")
+    probes.join(corpus, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("q"), col("embedding")), 6).as("sim"))
@@ -260,24 +309,31 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** Per-label centroid via the typed [[graft.functions.VectorAggregators.Centroid]]
-    * aggregator (B49): mergeable map-side buffers; output rounded (merge
-    * order makes the last ulp partition-dependent → rows-only check). */
-  def labelCentroids(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Per-label centroid, decimal-exact and hash-checked: component sums
+    * accumulate as DECIMAL(28,9) per (label, dim) — partition-order-
+    * independent, unlike a double running mean — then the norm folds the
+    * deterministic per-dim means in fixed dim order (left-to-right HOF,
+    * mirrored by DuckDB list_reduce). The typed
+    * [[graft.functions.VectorAggregators.Centroid]] aggregator (B49)
+    * computes the same means with mergeable map-side buffers and stays
+    * bit-compatible up to merge order — VectorOpsSpec proves the two
+    * paths agree to 1e-9 on every component. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("label"), col("embedding"))
-      .as[(Int, Seq[Float])]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(graft.functions.VectorAggregators.Centroid.toColumn.name("centroid"))
-      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "i", "x")
+      .groupBy("label", "i")
+      .agg(sum(col("x").cast("double").cast("decimal(28,9)")).as("sx"),
+        count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(collect_list(struct(col("i"),
+        (col("sx").cast("double") / col("n")).as("m"))).as("dims"))
       .select(col("label"),
-        round(sqrt(aggregate(col("centroid"), lit(0.0), (a, x) => a + x * x)), 4)
-          .as("centroid_norm"),
-        size(col("centroid")).as("dim"))
+        round(sqrt(aggregate(
+          transform(array_sort(col("dims")), s => s.getField("m")),
+          lit(0.0), (a, m) => a + m * m)), 4).as("centroid_norm"),
+        size(col("dims")).as("dim"))
       .orderBy("label")
-  }
 
   /** Squared L2 distance in double precision (codegen'd HOFs). */
   def l2sq(a: Column, b: Column): Column =
@@ -304,14 +360,19 @@ object VectorOps {
     * (cell, dim, x) then ONE hash aggregate per (cell, dim) — map-side
     * partial sums mean the shuffle carries k×dim partials per task, not
     * vectors — and the k-row result reassembles each centroid by
-    * sorting its (dim, mean) structs. */
+    * sorting its (dim, mean) structs. Component sums accumulate as
+    * exact DECIMAL (partition-order-independent), so the whole Lloyd
+    * chain is deterministic: the trained layout is reproducible and the
+    * summary query is DuckDB-oracle-checkable. */
   def kmeansUpdate(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("embedding")))
       .toDF("cell", "i", "x")
       .groupBy("cell", "i")
-      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .agg(sum(col("x").cast("double").cast("decimal(28,9)")).as("sx"),
+        count(lit(1)).as("n"))
       .groupBy("cell")
-      .agg(collect_list(struct(col("i"), (col("sx") / col("n")).as("m"))).as("dims"))
+      .agg(collect_list(struct(col("i"),
+        (col("sx").cast("double") / col("n")).as("m"))).as("dims"))
       .select(col("cell"),
         transform(array_sort(col("dims")), s => s.getField("m")).as("cvec"))
 
@@ -346,15 +407,18 @@ object VectorOps {
     (assigned, inertias.result())
   }
 
-  /** Per-cell summary of the trained clustering (rows-only: double mean
-    * chains are partition-order-sensitive at the ulp; the Lloyd
-    * monotonicity + coverage invariants are scalatest-verified). */
+  /** Per-cell summary of the trained clustering. Hash-checkable against
+    * DuckDB since [[kmeansUpdate]] went decimal-exact: assignments
+    * depend only on rounded distances over deterministic centroids, and
+    * the per-cell distance total is an exact DECIMAL sum of 9-decimal
+    * values (emitted as sum + count, never divided — midpoint rounding
+    * of quotients is the one cross-engine trap, see `agg_stats`). The
+    * oracle replays the full 5-round Lloyd fit as unrolled CTEs. */
   def kmeansSummary(s: SparkSession, d: String): DataFrame =
     kmeans(s, d, trackInertia = false)._1
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("dist").cast("decimal(28,9)")).cast("double")
-          / count(lit(1)), 4).as("mean_dist"))
+        sum(col("dist").cast("decimal(28,9)")).cast("double").as("sum_dist"))
       .orderBy("cell")
 
   /** Int8 symmetric quantization — the storage/bandwidth optimization
@@ -403,7 +467,62 @@ object VectorOps {
     "llm_ann_trained"   -> (annIvfTrained(_, _))
   )
 
+  /** DuckDB replay of the [[kmeans]] Lloyd fit, unrolled: `rounds`
+    * assign/update pairs as chained CTEs. Cross-engine exact because the
+    * Spark side is: distances round to 9 decimals before the (dist, cell)
+    * argmin; centroid updates sum exact DECIMAL(28,9); and both engines
+    * fold vector reductions strictly left-to-right. */
+  private def lloydOracle(k: Int, rounds: Int): String = {
+    def assign(an: String, ct: String) =
+      s"""$an AS (
+         |  SELECT vec_id, emb, cell, dist FROM (
+         |    SELECT vec_id, emb, cell, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (
+         |      SELECT e.vec_id, e.emb, c.cell,
+         |        round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(generate_series(1, len(e.emb)),
+         |            i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]))),
+         |          (a, x) -> a + x), 9) AS dist
+         |      FROM e, $ct c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(cn: String, an: String) =
+      s"""$cn AS (
+         |  SELECT cell, list(m ORDER BY i) AS cvec FROM (
+         |    SELECT cell, i,
+         |      CAST(SUM(CAST(emb[i] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM $an, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i)
+         |    GROUP BY cell, i) GROUP BY cell)""".stripMargin
+    val ctes = Seq(
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)",
+      s"c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cvec FROM e WHERE vec_id < $k)") ++
+      (0 until rounds).flatMap { r =>
+        assign(s"a$r", s"c$r") ::
+          (if (r < rounds - 1) List(update(s"c${r + 1}", s"a$r")) else Nil)
+      }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(CAST(dist AS DECIMAL(28,9))) AS DOUBLE) AS sum_dist
+       |FROM a${rounds - 1} GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "llm_kmeans" -> lloydOracle(k = 8, rounds = 5),
+    "llm_centroid" ->
+      """WITH ex AS (
+        |  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+        |m AS (
+        |  SELECT label, i,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY label, i),
+        |v AS (SELECT label, list(m ORDER BY i) AS ms FROM m GROUP BY label)
+        |SELECT label,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(ms, x -> x * x)), (a, b) -> a + b)), 4) AS centroid_norm,
+        |  CAST(len(ms) AS INT) AS dim
+        |FROM v ORDER BY label""".stripMargin,
     // Dot products are recomputed term-by-term in DuckDB with the same
     // left-to-right double accumulation via list_reduce (not
     // list_cosine_similarity, whose accumulation order is unspecified).

@@ -103,8 +103,8 @@ class PlanSpec extends SparkSpec {
       "llm_ann_ivf",
       "llm_dedup_minhash", "llm_simhash", "llm_simhash_neardup",
       "llm_simhash_band",
-      "llm_centroid", "llm_sim_prenorm", "source_binaryfile",
-      "llm_embed_lsh", "llm_kmeans", "llm_dedup_groups", "llm_ann_trained"),
+      "llm_sim_prenorm", "source_binaryfile",
+      "llm_embed_lsh", "llm_dedup_groups", "llm_ann_trained"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

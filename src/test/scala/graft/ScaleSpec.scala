@@ -115,6 +115,32 @@ class ScaleSpec extends SparkSpec {
     assert(probed.select("cell").distinct().count() == 2)
   }
 
+  test("trained-IVF query is a pure probe: only the probed cell dirs are scanned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = graft.operators.VectorOps.annIvfTrained(spark, sf)
+    df.collect() // execute so AQE finalizes
+    val layout = graft.operators.VectorOps.trainedLayoutDir(sf)
+    // descend through the finalized adaptive plan and its query stages
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val corpusScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("corpus")))
+    assert(corpusScans.nonEmpty, "no corpus scan found in the probe plan")
+    val total = spark.read.parquet(s"$layout/corpus")
+      .select("cell").distinct().count()
+    corpusScans.foreach { scan =>
+      val probed = scan.selectedPartitions.partitionCount
+      assert(probed < total,
+        s"probe scanned $probed of $total cell dirs — nothing pruned")
+      assert(probed <= 6, s"3 queries × nprobe 2 can touch at most 6, saw $probed")
+    }
+  }
+
   test("runtime bloom filter injects might_contain on the fact side of a shuffle join") {
     // a selective dim predicate should seed a bloom filter that prunes
     // fact rows BEFORE the shuffle — at 100 TB this is the difference

@@ -118,6 +118,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall (bf=$bf ivf=$ivf)")
   }
 
+  test("typed Centroid aggregator agrees with the decimal-exact mean path") {
+    val typed = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.VectorAggregators.Centroid.toColumn.name("centroid"))
+      .collect().toMap
+    val exact = Tables.embeddings(spark, sf)
+      .select(col("label"), posexplode(col("embedding"))).toDF("label", "i", "x")
+      .groupBy("label", "i")
+      .agg((sum(col("x").cast("double").cast("decimal(28,9)")).cast("double")
+        / count(lit(1))).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(typed.nonEmpty)
+    typed.foreach { case (lbl, arr) =>
+      assert(arr.nonEmpty)
+      arr.zipWithIndex.foreach { case (v, i) =>
+        assert(math.abs(v - exact((lbl, i))) < 1e-9,
+          s"label=$lbl dim=$i typed=$v exact=${exact((lbl, i))}")
+      }
+    }
+  }
+
   test("trained-centroid IVF holds the same recall bar as the seeded form") {
     val bf = VectorOps.simSearch(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
