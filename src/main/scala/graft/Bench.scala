@@ -27,7 +27,13 @@ object Bench {
       graft.operators.VectorOps.ensureTrainedLayout(spark, sfDir)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-    } catch { case _: Throwable => () }
+    } catch {
+      // a failed warm-up (e.g. the trained-layout pre-build) must be
+      // VISIBLE: llm_ann_trained would then pay full training inside its
+      // timed run, and the number is uninterpretable without this signal
+      case e: Throwable =>
+        System.err.println(s"[bench] warm-up failed: ${e.getClass.getName}: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch {

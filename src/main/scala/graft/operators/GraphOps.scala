@@ -74,13 +74,16 @@ object GraphOps {
       // — correctness never depends on the listener bus.
       val changed =
         try scala.concurrent.Await
-          .result(obs.future, scala.concurrent.duration.Duration("30s"))
+          .result(obs.future, scala.concurrent.duration.Duration("5s"))
           .getAs[Long]("changed")
         catch {
-          // keep iterating on delivery failure: maxIter still bounds the
-          // loop, and GraphOpsSpec pins the exact round count so a broken
-          // metrics path cannot hide
-          case _: java.util.concurrent.TimeoutException => 1L
+          // keep iterating on ANY delivery failure (timeout, an
+          // exceptionally-completed future, a wedged listener bus):
+          // maxIter still bounds the loop, and GraphOpsSpec pins the
+          // exact round count so a broken metrics path cannot hide. The
+          // timeout is short because localCheckpoint already materialized
+          // the round — the metrics row is normally delivered by now.
+          case scala.util.control.NonFatal(_) => 1L
         }
       done = changed == 0L
       // next is already materialized (localCheckpoint is eager), so the

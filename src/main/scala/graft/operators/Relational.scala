@@ -301,16 +301,18 @@ object Relational {
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_partkey"), col("l_suppkey"))
-    // rank/dense_rank order on the PREFIX of w's order, so their Window
-    // operator's required child ordering is already satisfied by w's sort:
-    // one full sort of lineitem per partition key total (three distinct
-    // orderings here used to cost three sorts — PlanSpec pins the count)
+    // rank orders on the PREFIX of w's order, so its Window operator's
+    // required child ordering is already satisfied by w's sort; dense_rank
+    // keeps its own l_quantity ordering (a genuinely different sort key —
+    // collapsing it onto w's prefix would make drk a copy of rk and
+    // silently weaken the workload), so the query costs exactly two sorts
     val wPrefix = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc)
+    val wQty = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
     Tables.lineitem(s, d)
       .withColumn("rn", row_number().over(w))
       .withColumn("qt", ntile(4).over(w))
       .withColumn("rk", rank().over(wPrefix))
-      .withColumn("drk", dense_rank().over(wPrefix))
+      .withColumn("drk", dense_rank().over(wQty))
       .filter(col("rn") <= 20)
       .select("l_returnflag", "rn", "rk", "drk", "qt", "l_orderkey", "l_linenumber")
       .orderBy("l_returnflag", "rn")
@@ -907,7 +909,7 @@ object Relational {
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
         |    row_number() OVER w AS rn,
         |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rk,
-        |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS drk,
+        |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drk,
         |    ntile(4) OVER w AS qt
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey)

@@ -134,11 +134,15 @@ object SqlQueries {
 
   /** TPC-H shapes whose text is valid, and decimal-exact, in BOTH Spark
     * SQL and DuckDB — declared once, run verbatim in each engine (the
-    * strongest possible oracle: zero translation). Q2/Q9-class queries
-    * need `partsupp`, which the testdata omits; date-lag predicates stand
-    * in for the missing commit/receipt columns with the same plan shape
-    * (correlated EXISTS, CASE-class aggregation, OR-of-conjunction
-    * pushdown). */
+    * strongest possible oracle: zero translation). All 22 query shapes
+    * are covered. The testdata omits `partsupp` and the comment/phone
+    * columns, so the queries that need them (q2, q9, q11, q16, q20, q22)
+    * substitute predicates over existing columns chosen to preserve the
+    * PLAN shape — the correlated scalar MIN (q2), the cost-term aggregate
+    * (q9), the scalar-subquery HAVING (q11), the NOT-IN anti-join (q16),
+    * the agg-in-IN-subquery (q20), and the AVG-scalar + NOT-EXISTS
+    * anti-join (q22); date-lag predicates stand in for the missing
+    * commit/receipt columns (q4, q12, q21). */
   private val tpchShared: Map[String, String] = Map(
     // Q1: full pricing summary — one scan, partial+final hash aggregate
     "sql_q1" ->
@@ -247,6 +251,164 @@ object SqlQueries {
         |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 140
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 50""".stripMargin,
+    // Q2: min-cost supplier — correlated scalar MIN subquery over a
+    // 4-table join (lineitem bridges part↔supplier in lieu of partsupp);
+    // Catalyst decorrelates into an aggregate-join on l_partkey
+    "sql_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO' AND r_name = 'ASIA'
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q9: product-type profit — 5-table join, per-(nation, year) profit
+    // with a retailprice-based cost term standing in for ps_supplycost
+    "sql_q9" ->
+      """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // Q11: important stock — grouped aggregate filtered by a scalar
+    // subquery in HAVING (parts holding >2× the average per-part value;
+    // a scale-stable fraction, unlike TPC-H's 1/SF constant)
+    "sql_q11" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > 2 * (
+        |  SELECT AVG(v) FROM (
+        |    SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2))) AS v
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    WHERE n2.n_name = 'NATION_3'
+        |    GROUP BY l2.l_partkey) pv)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    // Q13: customer order-count distribution — left outer join with an
+    // ON-clause filter (never a WHERE: that would kill the null rows),
+    // then a second aggregate over the first's result
+    "sql_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15: top supplier — CTE evaluated once, scalar MAX subquery over it
+    "sql_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q16: parts/supplier relationship — distinct-count per part attr
+    // with a NOT IN anti-join (acctbal stands in for the comment filter)
+    "sql_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q17: small-quantity-order revenue — the hardest decorrelation
+    // shape: TWO correlated aggregate scalar subqueries per outer row.
+    // The classic `< 0.2 * AVG(...)` is restated division-free
+    // (qty * 5 * count < sum) so both engines compare exact decimals
+    "sql_q17" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND p_type = 'PROMO'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5
+        |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2))) FROM lineitem l3
+        |       WHERE l3.l_partkey = p_partkey)""".stripMargin,
+    // Q20: potential part promotion — nested IN whose subquery is itself
+    // a grouped aggregate with HAVING (agg-in-IN decorrelation)
+    "sql_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE p_name LIKE 'blue%'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |  AND n_name = 'NATION_3'
+        |ORDER BY s_name""".stripMargin,
+    // Q21: suppliers who kept orders waiting — EXISTS plus a NOT EXISTS
+    // correlated on TWO outer columns (l1.l_orderkey, o_orderdate);
+    // ship-lag stands in for the missing commit/receipt dates
+    "sql_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND n_name IN ('NATION_3', 'NATION_8')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    // Q22: global sales opportunity — substring-derived code (customer
+    // name digits stand in for phone country codes), an uncorrelated AVG
+    // scalar subquery, and a NOT EXISTS anti-join against orders
+    "sql_q22" ->
+      """SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (
+        |  SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, c_acctbal
+        |  FROM customer
+        |  WHERE SUBSTRING(c_name, 17, 2) IN ('10', '11', '12', '13', '14', '15')
+        |    AND c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                     FROM customer WHERE c_acctbal > 0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT'
+        |                    AND o_orderdate >= TIMESTAMP '1997-06-01')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     // Q19: OR-of-conjunctions across the join — planners must push the
     // part-only disjuncts to the dim scan and keep the mixed ones above
     "sql_q19" ->

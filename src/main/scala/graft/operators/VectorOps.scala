@@ -127,13 +127,26 @@ object VectorOps {
   }
 
   /** Location of the TRAINED IVF layout for corpus `d` — derived data,
-    * cached outside the repo and the (read-only) testdata. The layout is
-    * deterministic (decimal-exact centroid updates, rounded distances),
-    * so any process may rebuild it and land on identical bytes. */
+    * cached under the build tree (never a shared world-writable tmpdir,
+    * which a predictable path would expose to pre-creation/symlinks).
+    * The key includes a CONTENT FINGERPRINT of the corpus files
+    * (path, length, mtime — the same freshness signal build tools use),
+    * so regenerating testdata at the same path invalidates the cache
+    * instead of silently probing an index trained on the old data. The
+    * layout itself is deterministic (decimal-exact centroid updates,
+    * rounded distances), so any process may rebuild it and land on
+    * identical bytes. */
   def trainedLayoutDir(d: String): String = {
+    val corpus = new java.io.File(d, "embeddings.parquet")
+    val sig = Option(corpus.listFiles()).getOrElse(Array(corpus))
+      .filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val key = new java.io.File(d).getName
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-ivf-trained-v1-$key").toString
+    new java.io.File(new java.io.File(System.getProperty("user.dir"), "target"),
+      s"graft-ivf-trained-v2-$key-$fp").toString
   }
 
   /** Train-ONCE corpus build for [[annIvfTrained]]: fit k-means (3 Lloyd

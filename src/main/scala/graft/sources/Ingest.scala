@@ -34,16 +34,30 @@ object Ingest {
   final case class IngestResult(
       ingested: Long, deduped: Long, rejected: Option[IngestError])
 
+  /** Hadoop FileSystem for `path` — resolves by URI scheme, so the same
+    * code serves `file://` (local, tested) and `s3a://`/`hdfs://` (cluster)
+    * without change; raw `java.io.File` would pin the catalog to local
+    * disk, which has no 100 TB analog. */
+  private def fsFor(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   /** Expected catalog schema: chunk_id, dataset_id, block_start,
     * block_end, size_bytes (+ free columns). */
   def readCatalog(spark: SparkSession, catalogPath: String): DataFrame = {
-    // partitionBy nests files under dataset_id=<v>/ dirs — probe recursively
-    def hasParquet(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      kids.exists(c => c.getName.endsWith(".parquet") || (c.isDirectory && hasParquet(c)))
+    // partitionBy nests files under dataset_id=<v>/ dirs — probe with a
+    // recursive listing (on object stores this is one LIST call, not a
+    // directory walk)
+    val (fs, p) = fsFor(spark, catalogPath)
+    def hasParquet: Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
     }
-    val p = new java.io.File(catalogPath)
-    if (p.exists() && hasParquet(p))
+    if (fs.exists(p) && hasParquet)
       spark.read.parquet(catalogPath)
     else
       spark.createDataFrame(
@@ -117,15 +131,13 @@ object Ingest {
     cat.repartition(col("dataset_id"))
       .sortWithinPartitions("dataset_id", "block_start")
       .write.mode(SaveMode.Overwrite).partitionBy("dataset_id").parquet(tmp)
-    val fs = new java.io.File(catalogPath)
-    def rm(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      kids.forall(rm) && f.delete()
-    }
-    if (!rm(fs))
+    val (fs, dst) = fsFor(spark, catalogPath)
+    // fail loudly rather than silently destroying the catalog: a partial
+    // delete or failed rename must not masquerade as success
+    if (!fs.delete(dst, true))
       throw new IllegalStateException(
         s"compact: could not clear $catalogPath; rewrite left at $tmp")
-    if (!new java.io.File(tmp).renameTo(fs))
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
       throw new IllegalStateException(
         s"compact: rename $tmp -> $catalogPath failed; rewrite left at $tmp")
     n
@@ -139,17 +151,13 @@ object Ingest {
     val n = remaining.count()
     val tmp = catalogPath + "_rewrite"
     remaining.write.mode(SaveMode.Overwrite).partitionBy("dataset_id").parquet(tmp)
-    val fs = new java.io.File(catalogPath)
-    def rm(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      kids.forall(rm) && f.delete()
-    }
+    val (fs, dst) = fsFor(spark, catalogPath)
     // fail loudly rather than silently destroying the catalog: a partial
     // delete or failed rename must not masquerade as success
-    if (!rm(fs))
+    if (!fs.delete(dst, true))
       throw new IllegalStateException(
         s"deleteChunk: could not clear $catalogPath; rewrite left at $tmp")
-    if (!new java.io.File(tmp).renameTo(fs))
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
       throw new IllegalStateException(
         s"deleteChunk: rename $tmp -> $catalogPath failed; rewrite left at $tmp")
     n

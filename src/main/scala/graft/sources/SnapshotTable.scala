@@ -106,14 +106,22 @@ object SnapshotTable {
       for (b <- blocks; c <- b.getColumns.asScala) {
         val tpe = c.getPrimitiveType.getPrimitiveTypeName
         val st = c.getStatistics
-        if ((tpe == INT64 || tpe == INT32) && st != null && st.hasNonNullValue) {
-          val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
-            case (a: Number, b: Number) => (a.longValue(), b.longValue())
+        val name = c.getPath.toDotString
+        // stats are an OPTIMIZATION — a column whose footer min/max is
+        // not Number-typed, or whose name collides with the manifest
+        // delimiters (| ; = : newline), is simply recorded without stats
+        // rather than failing the commit
+        val safeName = !name.exists("|;=:\n\r".contains(_))
+        if ((tpe == INT64 || tpe == INT32) && st != null &&
+            st.hasNonNullValue && safeName) {
+          (st.genericGetMin, st.genericGetMax) match {
+            case (a: Number, b: Number) =>
+              val (lo, hi) = (a.longValue(), b.longValue())
+              val cur = stats.get(name)
+              stats(name) = (cur.fold(lo)(p => math.min(p._1, lo)),
+                cur.fold(hi)(p => math.max(p._2, hi)))
+            case _ => ()
           }
-          val name = c.getPath.toDotString
-          val cur = stats.get(name)
-          stats(name) = (cur.fold(lo)(p => math.min(p._1, lo)),
-            cur.fold(hi)(p => math.max(p._2, hi)))
         }
       }
       FileEntry(file, rows, stats.toMap)
