@@ -424,9 +424,42 @@ object SqlQueries {
         |        AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
   )
 
+  /** Non-TPC-H engine-shared SQL: same text runs verbatim in Spark and
+    * DuckDB, like [[tpchShared]]. */
+  private val sqlShared: Map[String, String] = Map(
+    // Explicit GROUPING SETS — the general form rollup/cube specialize;
+    // GROUPING() markers disambiguate "NULL key" from "subtotal row".
+    // One scan: Spark lowers the sets to a single Expand + hash agg
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    // Null-aware NOT IN: three-valued logic makes `x NOT IN (set with
+    // NULL)` reject EVERY row (x <> NULL is UNKNOWN), while the same set
+    // minus its NULLs anti-joins normally — both counted side by side.
+    // Spark plans the nullable side as a null-aware anti join rather
+    // than a plain LeftAnti, which would be wrong
+    "join_null_anti" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')) AS n_without_null""".stripMargin
+  )
+
+  private val shared: Map[String, String] = tpchShared ++ sqlShared
+
   private def runShared(name: String)(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)
-    s.sql(tpchShared(name))
+    s.sql(shared(name))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -437,7 +470,7 @@ object SqlQueries {
       "sql_q5" -> (q5(_, _)),
       "sub_queries" -> (subqueries(_, _)),
       "fn_null" -> (nullHandling(_, _))
-    ) ++ tpchShared.keys.map(n => n -> (runShared(n) _)).toMap
+    ) ++ shared.keys.map(n => n -> (runShared(n) _)).toMap
 
   def oracles: Map[String, String] = Map(
     "agg_filter" ->
@@ -512,5 +545,5 @@ object SqlQueries {
         |  CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM pri THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
         |  CAST(COUNT(DISTINCT COALESCE(st, 'NONE')) AS BIGINT) AS n_filled
         |FROM e""".stripMargin
-  ) ++ tpchShared
+  ) ++ shared
 }

@@ -46,6 +46,30 @@ object TextOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Data-mixture sampling: each source keeps a deterministic
+    * hash-threshold fraction of its documents (cyclic 25/50/75/100% by
+    * source number — the per-source weights a training-mix config would
+    * supply), reported as per-source kept-doc and kept-char budgets.
+    * The selection predicate is PER-ROW (first md5 nibble < 4·weight):
+    * no window, no per-source sort, no shuffle before the final 20-row
+    * aggregate — the only mixture shape that holds at 100 TB, where
+    * rank-based quota sampling would sort terabytes per source. The
+    * same hash-threshold trick reproduces the exact sample in any
+    * engine, so the oracle checks document-identical selection. */
+  def mixture(s: SparkSession, d: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    // weight 1..4 sixteenths→ nibble cutoff 4,8,12,16 of the md5 hex digit
+    val cutoff = ((srcNum % 4) + 1) * 4
+    val nibble = conv(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1),
+      16, 10).cast("int")
+    Tables.documents(s, d)
+      .filter(nibble < cutoff)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+      .orderBy("source")
+  }
+
   /** TF-IDF term scoring over the corpus: tf = in-doc term count, df =
     * docs containing the term, idf = ln(N/df). One explode + two hash
     * aggregates + a broadcast of the (vocab-sized) df table — never an
@@ -566,6 +590,7 @@ object TextOps {
     "llm_normalize"     -> (normalize(_, _)),
     "llm_pipeline"      -> (curationPipeline(_, _)),
     "llm_sample"        -> (sampleByHash(_, _)),
+    "llm_mixture"       -> (mixture(_, _)),
     "llm_tfidf"         -> (tfidf(_, _)),
     "llm_pack"          -> (packTokens(_, _)),
     "llm_repetition"    -> (repetitionFilter(_, _)),
@@ -638,6 +663,14 @@ object TextOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+    "llm_mixture" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents
+        |WHERE POSITION(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |               IN '0123456789abcdef') - 1
+        |      < 4 * ((CAST(substring(source, 4, 10) AS INT) % 4) + 1)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "llm_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

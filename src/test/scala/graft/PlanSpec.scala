@@ -80,6 +80,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sql_q17: correlated aggregate subqueries decorrelate into joins") {
+    val plan = executedPlan(SqlQueries.queries("sql_q17")(spark, sf))
+    // the per-part COUNT and SUM subqueries must rewrite to one aggregate
+    // each, joined on l_partkey — a Subquery node surviving in the plan
+    // would mean per-outer-row re-execution, which is wrong at any scale
+    assert(!plan.contains("Subquery"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan.take(2000))
+  }
+
+  test("sql_q21: EXISTS and NOT EXISTS lower to semi and anti joins") {
+    val plan = executedPlan(SqlQueries.queries("sql_q21")(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
+  test("sql_q15: uncorrelated scalar subquery evaluates once, not per row") {
+    val plan = executedPlan(SqlQueries.queries("sql_q15")(spark, sf))
+    // the MAX-over-CTE appears as a one-shot Subquery feeding a filter;
+    // more than one occurrence would mean the CTE body was re-planned
+    assert("Subquery subquery".r.findAllIn(plan).length <= 2, plan.take(2000))
+  }
+
+  test("join_null_anti: both NOT INs plan as hash anti joins, not nested loops") {
+    val df = SqlQueries.queries("join_null_anti")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the null-aware NOT IN must still hash-join (Spark's single-column
+    // null-aware anti join); a BroadcastNestedLoopJoin here is the
+    // O(n·m) plan that dies at scale
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
+    assert("LeftAnti".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
