@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // anchor for on-disk caches (trained IVF layout): forked JVMs see the
+  // repo root regardless of the directory sbt was invoked from
+  s"-Dgraft.build.root=${baseDirectory.value.getAbsolutePath}",
 )

@@ -83,7 +83,14 @@ object GraphOps {
           // exact round count so a broken metrics path cannot hide. The
           // timeout is short because localCheckpoint already materialized
           // the round — the metrics row is normally delivered by now.
-          case scala.util.control.NonFatal(_) => 1L
+          // Log each miss: repeated timeouts mean a converged run spins
+          // to maxIter paying the wait every round, which degrades bench
+          // numbers silently if invisible.
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] CC round $iter: observed-metric delivery failed " +
+                s"(${e.getClass.getSimpleName}); assuming changed=1")
+            1L
         }
       done = changed == 0L
       // next is already materialized (localCheckpoint is eager), so the

@@ -145,7 +145,12 @@ object VectorOps {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val key = new java.io.File(d).getName
-    new java.io.File(new java.io.File(System.getProperty("user.dir"), "target"),
+    // anchor to the build root (sbt sets -Dgraft.build.root for every
+    // forked JVM) so invoking bench/tests from another working directory
+    // reuses the same trained layout instead of silently retraining —
+    // cwd is only the fallback when run outside sbt
+    val root = sys.props.getOrElse("graft.build.root", System.getProperty("user.dir"))
+    new java.io.File(new java.io.File(root, "target"),
       s"graft-ivf-trained-v2-$key-$fp").toString
   }
 

@@ -44,6 +44,35 @@ object Ingest {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Atomically promote a rewritten catalog at `tmp` over `dst` by
+    * renaming the live catalog ASIDE first (never delete-then-rename: a
+    * crash between those two steps would leave no live catalog at all).
+    * Every crash window leaves a complete catalog at `dst` or at the
+    * aside path, so recovery is a single rename — and on `s3a://`,
+    * where rename is itself a non-atomic copy, the live data is still
+    * never the thing mid-copy. A fresh (not-yet-created) `dst` promotes
+    * without an aside step; `FileSystem.delete` returning false for a
+    * missing path must not read as failure. */
+  private def promote(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      what: String): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(dst.toString + "_old")
+    if (fs.exists(aside) && !fs.delete(aside, true))
+      throw new IllegalStateException(
+        s"$what: could not clear stale aside $aside; rewrite left at $tmp")
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new IllegalStateException(
+        s"$what: could not move live catalog $dst aside; rewrite left at $tmp")
+    if (!fs.rename(tmp, dst)) {
+      // restore the previous catalog so the failure is non-destructive
+      if (fs.exists(aside)) fs.rename(aside, dst)
+      throw new IllegalStateException(
+        s"$what: rename $tmp -> $dst failed; previous catalog restored")
+    }
+    // best-effort: a leftover aside is cleared by the next promote
+    if (fs.exists(aside)) fs.delete(aside, true)
+  }
+
   /** Expected catalog schema: chunk_id, dataset_id, block_start,
     * block_end, size_bytes (+ free columns). */
   def readCatalog(spark: SparkSession, catalogPath: String): DataFrame = {
@@ -132,14 +161,7 @@ object Ingest {
       .sortWithinPartitions("dataset_id", "block_start")
       .write.mode(SaveMode.Overwrite).partitionBy("dataset_id").parquet(tmp)
     val (fs, dst) = fsFor(spark, catalogPath)
-    // fail loudly rather than silently destroying the catalog: a partial
-    // delete or failed rename must not masquerade as success
-    if (!fs.delete(dst, true))
-      throw new IllegalStateException(
-        s"compact: could not clear $catalogPath; rewrite left at $tmp")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new IllegalStateException(
-        s"compact: rename $tmp -> $catalogPath failed; rewrite left at $tmp")
+    promote(fs, new org.apache.hadoop.fs.Path(tmp), dst, "compact")
     n
   }
 
@@ -152,14 +174,7 @@ object Ingest {
     val tmp = catalogPath + "_rewrite"
     remaining.write.mode(SaveMode.Overwrite).partitionBy("dataset_id").parquet(tmp)
     val (fs, dst) = fsFor(spark, catalogPath)
-    // fail loudly rather than silently destroying the catalog: a partial
-    // delete or failed rename must not masquerade as success
-    if (!fs.delete(dst, true))
-      throw new IllegalStateException(
-        s"deleteChunk: could not clear $catalogPath; rewrite left at $tmp")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new IllegalStateException(
-        s"deleteChunk: rename $tmp -> $catalogPath failed; rewrite left at $tmp")
+    promote(fs, new org.apache.hadoop.fs.Path(tmp), dst, "deleteChunk")
     n
   }
 }

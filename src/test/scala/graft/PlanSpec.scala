@@ -80,6 +80,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("win_rank: exactly two window sorts (rank rides the row_number order)") {
+    // rank() orders on the prefix of the row_number window's sort, so it
+    // must NOT introduce a sort of its own; dense_rank's l_quantity order
+    // is a genuinely different key and legitimately pays the second sort.
+    // The third Sort is the final 60-row output orderBy — cheap, but
+    // counted so a planner regression to a third FULL window sort fails.
+    val df = Relational.winRank(spark, sf)
+    df.collect() // finalize AQE — AdaptiveSparkPlanExec is a leaf until run
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    // materialized stages hide behind QueryStageExec leaves, so count on
+    // the plan STRING (which prints the whole tree): SortExec renders as
+    // "Sort [<order>..." — window sorts carry their order key first
+    val sorts = "Sort \\[".r.findAllIn(finalPlan).length
+    assert(sorts <= 3,
+      s"expected ≤2 window sorts + 1 output sort, got $sorts:\n" +
+        finalPlan.take(3000))
+    // window sorts lead with the partition key, then the order key
+    val priceSorts = finalPlan.linesIterator
+      .count(l => l.contains("Sort [") && l.contains("l_extendedprice"))
+    assert(priceSorts == 1,
+      s"the 6-column and prefix windows must share one sort, got $priceSorts:\n" +
+        finalPlan.take(3000))
+  }
+
   test("sql_q17: correlated aggregate subqueries decorrelate into joins") {
     val plan = executedPlan(SqlQueries.queries("sql_q17")(spark, sf))
     // the per-part COUNT and SUM subqueries must rewrite to one aggregate
