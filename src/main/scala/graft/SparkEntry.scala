@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ChunkCatalog.queries ++ Relational.queries ++ ScalarFns.queries ++
       Windows.queries ++ TextOps.queries ++ VectorOps.queries ++
-      Multimodal.queries ++ SqlQueries.queries ++ GraphOps.queries
+      Multimodal.queries ++ SqlQueries.queries ++ GraphOps.queries ++
+      graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ChunkCatalog.oracles ++ Relational.oracles ++ ScalarFns.oracles ++
       Windows.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
-      Multimodal.oracles ++ SqlQueries.oracles ++ GraphOps.oracles
+      Multimodal.oracles ++ SqlQueries.oracles ++ GraphOps.oracles ++
+      graft.sources.Formats.oracles
 }

@@ -573,7 +573,70 @@ object TextOps {
       .orderBy("eval_id")
   }
 
+  /** Scalable heavy hitters, two passes (SURVEY.md B46/B49): pass 1 is
+    * one scan building a Misra-Gries candidate summary (capacity 64 —
+    * everything above total/65 ≈ 1.5% is guaranteed caught, and the
+    * query's 2% reporting threshold sits safely above that line); pass 2
+    * re-counts ONLY the ≤ 64 candidates exactly via a broadcast
+    * semi-join. The naive `groupBy(word)` shuffles one row per distinct
+    * token — open-vocabulary cardinality at corpus scale — while this
+    * plan's shuffle is ≤ k candidate rows; `total` rides in the sketch so
+    * the threshold needs no third scan. Exact output ⇒ full DuckDB
+    * oracle despite the sketch in the plan. */
+  def heavyWords(s: SparkSession, d: String): DataFrame = {
+    def words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val sketch = words
+      .agg(graft.functions.FreqItemsAgg.freq_items_mg(col("word"), 64).as("s"))
+    val cand = sketch.select(col("s.total").as("n_words"),
+      explode(col("s.items").getField("item")).as("word"))
+    words.join(broadcast(cand), "word")
+      .groupBy("word", "n_words")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= col("n_words") * 0.02)
+      .select("word", "cnt", "n_words")
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  /** Sub-document (chunk-level) dedup — the CCNet/RefinedWeb move:
+    * boilerplate repeats ACROSS documents even when whole docs are
+    * unique, so dedup at paragraph granularity. Paragraph := 10-word
+    * non-overlapping chunk (the corpus has no newlines); keep each
+    * distinct chunk's FIRST occurrence (min (doc_id, chunk) — global,
+    * deterministic) and reassemble survivors in order. The dedup key on
+    * the shuffle is md5(chunk) — 16 bytes — never chunk text; output is
+    * per-doc kept/total chunk counts + md5 of the cleaned text (both
+    * engines agree on md5, making the whole pipeline hash-checkable). */
+  def dedupChunks(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+    val chunks = words
+      .withColumn("chunk", floor(col("pos") / 10))
+      .groupBy("doc_id", "chunk")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("chunk_text"))
+      .withColumn("key", md5(col("chunk_text")))
+    val first = chunks.groupBy("key")
+      .agg(min(struct(col("doc_id"), col("chunk"))).as("first"))
+    val kept = chunks.join(first, "key")
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("chunk") === col("first.chunk"))
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_chunks"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("chunk"), col("chunk_text")))),
+            x => x.getField("chunk_text")), " ")).as("clean_md5"))
+      .join(chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks")), "doc_id")
+      .select("doc_id", "n_chunks", "kept_chunks", "clean_md5")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_heavy_words"   -> (heavyWords(_, _)),
+    "llm_dedup_chunk"   -> (dedupChunks(_, _)),
     "llm_bigrams"       -> (bigrams(_, _)),
     "llm_contamination" -> (contamination(_, _)),
     "llm_dedup_exact"   -> (dedupExact(_, _)),
@@ -605,6 +668,41 @@ object TextOps {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "llm_heavy_words" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |w2 AS (SELECT word FROM w WHERE word <> ''),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words FROM w2)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, n_words
+        |FROM w2, t
+        |GROUP BY word, n_words
+        |HAVING COUNT(*) >= n_words * 0.02
+        |ORDER BY cnt DESC, word""".stripMargin,
+    "llm_dedup_chunk" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+        |  FROM lists),
+        |chunks AS (
+        |  SELECT doc_id, pos // 10 AS chunk,
+        |    string_agg(word, ' ' ORDER BY pos) AS chunk_text
+        |  FROM words GROUP BY doc_id, pos // 10),
+        |ranked AS (
+        |  SELECT doc_id, chunk, chunk_text,
+        |    row_number() OVER (PARTITION BY md5(chunk_text)
+        |                       ORDER BY doc_id, chunk) AS rn
+        |  FROM chunks),
+        |kept AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+        |    md5(string_agg(chunk_text, ' ' ORDER BY chunk)) AS clean_md5
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        |  FROM chunks GROUP BY doc_id)
+        |SELECT kept.doc_id, n_chunks, kept_chunks, clean_md5
+        |FROM kept JOIN tot ON kept.doc_id = tot.doc_id
+        |ORDER BY kept.doc_id""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |m AS (

@@ -149,7 +149,8 @@ class PlanSpec extends SparkSpec {
     val modules: Seq[Map[String, Any]] = Seq(
       ChunkCatalog.queries, Relational.queries, ScalarFns.queries,
       Windows.queries, TextOps.queries, VectorOps.queries,
-      Multimodal.queries, SqlQueries.queries, GraphOps.queries)
+      Multimodal.queries, SqlQueries.queries, GraphOps.queries,
+      graft.sources.Formats.queries)
     val total = modules.map(_.size).sum
     // Map ++ silently shadows duplicates — a collision would drop a query
     assert(SparkEntry.queries.size == total,
