@@ -85,55 +85,166 @@ object Formats {
 
   // ------------------------------------------------------------ z-order
 
-  /** 2-bit × 2-bit Morton (z-order) interleave of (user bucket, time
-    * bucket) — multi-dimensional clustering so ONE partition column
-    * serves range predicates on BOTH dimensions (the generalization of
-    * the reference's order-preserving composite key,
-    * /root/reference/src/rocksdb_storage_engine.rs:180-192, which can
-    * only cluster by its leading field). */
-  private def zInterleave(ub: org.apache.spark.sql.Column,
-      tb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    ub.bitwiseAND(1) + tb.bitwiseAND(1) * 2 +
-      (ub / 2).cast("int").bitwiseAND(1) * 4 +
-      (tb / 2).cast("int").bitwiseAND(1) * 8
+  /** Bits per dimension of the events z layout: 4 + 4 → a 16×16 grid,
+    * 256 z cells. The math below is generic over `bits` (up to 31 per
+    * dimension in a Long) — the layout just instantiates it shallow
+    * enough that a local test corpus still populates most cells. */
+  val ZBits = 4
 
-  /** Driver-side pure math: which z values intersect the query box
-    * [ubLo, ubHi] × [tbLo, tbHi]? 16 cells max — enumerate. At deeper
-    * bit-depths this becomes the standard BIGMIN z-range splitter; the
-    * contract (query box → z set, before any data is read) is the same. */
-  def zRangesFor(ubLo: Int, ubHi: Int, tbLo: Int, tbHi: Int): Seq[Int] =
-    for {
-      ub <- ubLo to ubHi
-      tb <- tbLo to tbHi
-    } yield (ub & 1) + (tb & 1) * 2 + ((ub >> 1) & 1) * 4 + ((tb >> 1) & 1) * 8
+  /** Morton-interleave two `bits`-wide coordinates: x occupies the even
+    * bit positions, y the odd. Driver-side twin of [[zInterleaveCol]];
+    * ZOrderSpec pins the two to agree on every cell of the grid. */
+  def zEncode(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** Inverse of [[zEncode]]. */
+  def zDecode(z: Long, bits: Int): (Long, Long) = {
+    var x = 0L; var y = 0L
+    var i = 0
+    while (i < bits) {
+      x |= ((z >> (2 * i)) & 1L) << i
+      y |= ((z >> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    (x, y)
+  }
+
+  /** Minimal sorted disjoint contiguous z runs covering EXACTLY the
+    * cells of the box [xLo,xHi] × [yLo,yHi] — the z-range splitter that
+    * turns a 2-D box predicate into 1-D partition/key ranges (the
+    * multi-dimensional generalization of the reference's
+    * order-preserving composite key scan,
+    * /root/reference/src/rocksdb_storage_engine.rs:180-192).
+    *
+    * Quadtree prefix decomposition: a quad wholly inside the box is one
+    * contiguous z run (emit), a disjoint quad is skipped, a straddling
+    * quad recurses into its 4 children in z order — so the output
+    * arrives sorted and only O(box perimeter) quads are ever visited,
+    * never the 4^bits cell space. That property is what makes the same
+    * code usable at 16-bit epoch × 16-bit key depths on a real lake;
+    * adjacent runs merge on the way out. ZOrderSpec proves equality
+    * with brute-force cell enumeration over every box in the grid. */
+  def zRanges(xLo: Long, xHi: Long, yLo: Long, yHi: Long, bits: Int)
+      : Seq[(Long, Long)] = {
+    require(xLo <= xHi && yLo <= yHi, s"empty box ($xLo..$xHi)×($yLo..$yHi)")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def rec(qx: Long, qy: Long, level: Int): Unit = {
+      val side = 1L << (bits - level)
+      val x1 = qx + side - 1; val y1 = qy + side - 1
+      if (qx > xHi || x1 < xLo || qy > yHi || y1 < yLo) return // disjoint
+      if (qx >= xLo && x1 <= xHi && qy >= yLo && y1 <= yHi) {  // contained
+        val z0 = zEncode(qx, qy, bits)                         // quad is one z run
+        if (out.nonEmpty && out.last._2 + 1 == z0)
+          out(out.size - 1) = (out.last._1, z0 + side * side - 1)
+        else out += ((z0, z0 + side * side - 1))
+        return
+      }
+      val h = side / 2 // children in ascending-z order: (x,y) bit pairs 00,10,01,11
+      rec(qx, qy, level + 1); rec(qx + h, qy, level + 1)
+      rec(qx, qy + h, level + 1); rec(qx + h, qy + h, level + 1)
+    }
+    rec(0L, 0L, 0)
+    out.toSeq
+  }
+
+  /** BIGMIN (Tropf–Herzog '81): the smallest z value strictly greater
+    * than `zcur` whose decoded point lies in the box spanned by corners
+    * `zmin`/`zmax` (z-encodings of the box's low/high corners), or -1
+    * if none — the skip primitive a z-ordered scan uses to jump a
+    * sequential reader over the dead space between the runs that
+    * [[zRanges]] enumerates up front. Bit-walk from the MSB, narrowing
+    * the box with the classic "10…0"/"01…1" same-dimension loads;
+    * ZOrderSpec checks it against brute force for every (box, zcur). */
+  def bigMin(zcur: Long, zmin0: Long, zmax0: Long, bits: Int): Long = {
+    // modify only bits of pos's dimension at positions <= pos:
+    // one=true → set pos, clear lower same-dim bits ("10…0");
+    // one=false → clear pos, set lower same-dim bits ("01…1")
+    def loaded(v: Long, pos: Int, one: Boolean): Long = {
+      var below = 0L; var p = pos - 2
+      while (p >= 0) { below |= 1L << p; p -= 2 }
+      if (one) (v | (1L << pos)) & ~below else (v & ~(1L << pos)) | below
+    }
+    var zmin = zmin0; var zmax = zmax0
+    var big = -1L
+    var pos = 2 * bits - 1
+    while (pos >= 0) {
+      (((zcur >> pos) & 1L).toInt, ((zmin >> pos) & 1L).toInt,
+          ((zmax >> pos) & 1L).toInt) match {
+        case (0, 0, 0) => ()
+        case (0, 0, 1) => big = loaded(zmin, pos, one = true)
+                          zmax = loaded(zmax, pos, one = false)
+        case (0, 1, 1) => return zmin // whole remaining box is above zcur
+        case (1, 0, 0) => return big  // whole remaining box is below zcur
+        case (1, 0, 1) => zmin = loaded(zmin, pos, one = true)
+        case (1, 1, 1) => ()
+        case other => throw new IllegalStateException(
+          s"zmin > zmax at bit $pos: $other")
+      }
+      pos -= 1
+    }
+    big // zcur itself is inside the box: next-in-box is the pending BIGMIN
+  }
+
+  /** Column-level Morton interleave (codegen'd bit ops, no UDF). */
+  private def zInterleaveCol(ub: org.apache.spark.sql.Column,
+      tb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftright(ub, i).bitwiseAND(1) * lit(1 << (2 * i)) +
+        shiftright(tb, i).bitwiseAND(1) * lit(1 << (2 * i + 1))
+    }.reduce(_ + _).cast("int")
+
+  /** Driver-side pure math: the z runs intersecting the query box
+    * [ubLo, ubHi] × [tbLo, tbHi] at the layout's bit depth — computed
+    * from the box alone, before any data is read. */
+  def zRangesFor(ubLo: Int, ubHi: Int, tbLo: Int, tbHi: Int): Seq[(Int, Int)] =
+    zRanges(ubLo, ubHi, tbLo, tbHi, ZBits).map { case (lo, hi) =>
+      (lo.toInt, hi.toInt) }
 
   /** Where the z-clustered events layout lives for `d`. */
   def zLayoutDir(d: String): String = cacheDir("zorder", d)
 
-  /** Write events clustered by z(user/4, (day-1)/8): 16 partition dirs,
-    * each file additionally sorted by (user_id, ts) for row-group
-    * min/max locality inside the partition. */
+  /** Write events clustered by z(user bucket, day bucket) on the 16×16
+    * grid — up to 256 partition dirs, each file additionally sorted by
+    * (user_id, ts) for row-group min/max locality inside the cell.
+    * Bucketing: ub = (user_id/4) mod 16 (wraps — the row predicate cuts
+    * aliased users), tb = (day-1)/2 (days 1-31 → 0-15, monotone). */
   def writeZLayout(s: SparkSession, d: String): String = {
     val dir = zLayoutDir(d)
     Tables.events(s, d)
-      .withColumn("zb", zInterleave(
-        (col("user_id") / 4).cast("int"),
-        ((dayofmonth(col("ts")) - 1) / 8).cast("int")))
+      .withColumn("zb", zInterleaveCol(
+        (col("user_id") / 4).cast("int").bitwiseAND(15),
+        ((dayofmonth(col("ts")) - 1) / 2).cast("int"), ZBits))
       .repartition(col("zb"))
       .sortWithinPartitions("zb", "user_id", "ts")
       .write.mode("overwrite").partitionBy("zb").parquet(dir)
     dir
   }
 
-  /** 2-D box query over the z layout: users 4-7 × days 9-16 maps to
-    * exactly ONE of the 16 z partitions (ScaleSpec asserts the pruning);
-    * the remaining row predicates cut within it. Results are
-    * layout-independent, so the oracle reads the original events table. */
+  /** 2-D box query over the z layout: users 4-7 × days 9-16 = box
+    * ub∈[1,1] × tb∈[4,7] — a thin box that z-order shatters into 4
+    * separate runs ({33},{35},{41},{43}), exactly the
+    * many-runs-per-box case the splitter exists for. The zb predicate
+    * is built from [[zRangesFor]]'s runs and partition-prunes the other
+    * ~250 cell dirs at file-listing time (ScaleSpec "z-order layout"
+    * asserts the selected-partition count); the remaining row
+    * predicates cut within the cells. Results are layout-independent,
+    * so the oracle reads the original events table. */
   def layoutZorder(s: SparkSession, d: String): DataFrame = {
     val dir = writeZLayout(s, d)
-    val zs = zRangesFor(1, 1, 1, 1) // ub=1 (users 4-7), tb=1 (days 9-16)
+    val zPred = zRangesFor(1, 1, 4, 7)
+      .map { case (lo, hi) =>
+        if (lo == hi) col("zb") === lo else col("zb").between(lo, hi) }
+      .reduce(_ || _)
     s.read.parquet(dir)
-      .filter(col("zb").isin(zs: _*) &&
+      .filter(zPred &&
         col("user_id").between(4, 7) &&
         col("ts") >= lit("2024-01-09").cast("timestamp") &&
         col("ts") < lit("2024-01-17").cast("timestamp"))

@@ -115,6 +115,40 @@ class ScaleSpec extends SparkSpec {
     assert(probed.select("cell").distinct().count() == 2)
   }
 
+  test("z-order layout: box query scans only the splitter's z-run directories") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = graft.sources.Formats.writeZLayout(spark, sf)
+    // the aggregate query plans adaptively — descend into the stages
+    def deepScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => deepScans(a.executedPlan)
+      case q: QueryStageExec => deepScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(deepScans)
+    }
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      df.collect() // execute so AQE finalizes
+      deepScans(df.queryExecution.executedPlan)
+        .headOption.getOrElse(fail("no FileSourceScanExec"))
+    }
+    val all = scanOf(spark.read.parquet(dir)).selectedPartitions.partitionCount
+    // the query's box (users 4-7 × days 9-16) shatters into 4 z runs;
+    // the scan must select exactly the on-disk dirs inside those runs
+    val zSet = graft.sources.Formats.zRangesFor(1, 1, 4, 7)
+      .flatMap { case (lo, hi) => lo to hi }.toSet
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("zb="))
+      .map(_.getName.stripPrefix("zb=").toInt)
+    val expected = onDisk.count(zSet)
+    val pruned = scanOf(graft.sources.Formats.layoutZorder(spark, sf))
+      .selectedPartitions.partitionCount
+    assert(expected >= 1, "box cells unexpectedly empty in test data")
+    assert(pruned == expected,
+      s"expected the $expected populated z-run dirs, scanned $pruned of $all")
+    assert(all > 8 * expected,
+      s"pruning unconvincing: $pruned of only $all dirs")
+  }
+
   test("trained-IVF query is a pure probe: only the probed cell dirs are scanned") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
