@@ -583,10 +583,17 @@ object TextOps {
     * plan's shuffle is ≤ k candidate rows; `total` rides in the sketch so
     * the threshold needs no third scan. Exact output ⇒ full DuckDB
     * oracle despite the sketch in the plan. */
-  def heavyWords(s: SparkSession, d: String): DataFrame = {
-    def words = Tables.documents(s, d)
+  def heavyWords(s: SparkSession, d: String): DataFrame =
+    heavyWordsOf(Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0))
+
+  /** The sketch→recount core over any single-column `word` frame —
+    * separated so the threshold-boundary guarantee (an item at exactly
+    * the 2% reporting line survives, one below it does not, on a corpus
+    * where n/(k+1) sits under 2%) is pinned on a constructed corpus in
+    * TextOpsSpec, not just sampled by the table-sized oracle run. */
+  def heavyWordsOf(words: DataFrame): DataFrame = {
     val sketch = words
       .agg(graft.functions.FreqItemsAgg.freq_items_mg(col("word"), 64).as("s"))
     val cand = sketch.select(col("s.total").as("n_words"),
@@ -604,10 +611,18 @@ object TextOps {
     * unique, so dedup at paragraph granularity. Paragraph := 10-word
     * non-overlapping chunk (the corpus has no newlines); keep each
     * distinct chunk's FIRST occurrence (min (doc_id, chunk) — global,
-    * deterministic) and reassemble survivors in order. The dedup key on
-    * the shuffle is md5(chunk) — 16 bytes — never chunk text; output is
-    * per-doc kept/total chunk counts + md5 of the cleaned text (both
-    * engines agree on md5, making the whole pipeline hash-checkable). */
+    * deterministic) and reassemble survivors in order.
+    *
+    * Shuffle discipline: chunk text crosses exactly ONE wide exchange —
+    * the `row_number` window partitioned by the 16-byte md5 key decides
+    * keep/drop in the same shuffle that groups duplicates, and a single
+    * doc_id aggregate then computes kept counts AND the cleaned-text
+    * md5 from the rn-annotated rows (a `first`-aggregate + join back
+    * would re-shuffle the text a second time). PlanSpec pins the
+    * 3-exchange shape. Output is per-doc kept/total chunk counts + md5
+    * of the cleaned text (both engines agree on md5, making the whole
+    * pipeline hash-checkable); docs whose every chunk lost to an
+    * earlier doc are dropped, matching the oracle's inner join. */
   def dedupChunks(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -619,17 +634,17 @@ object TextOps {
         transform(array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")), " ").as("chunk_text"))
       .withColumn("key", md5(col("chunk_text")))
-    val first = chunks.groupBy("key")
-      .agg(min(struct(col("doc_id"), col("chunk"))).as("first"))
-    val kept = chunks.join(first, "key")
-      .filter(col("doc_id") === col("first.doc_id") &&
-        col("chunk") === col("first.chunk"))
-    kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("kept_chunks"),
+    val ranked = chunks.withColumn("rn", row_number().over(
+      Window.partitionBy("key").orderBy("doc_id", "chunk")))
+    ranked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"),
+        // collect_list skips the nulls `when` leaves on losing chunks
         md5(array_join(
-          transform(array_sort(collect_list(struct(col("chunk"), col("chunk_text")))),
+          transform(array_sort(collect_list(
+            when(col("rn") === 1, struct(col("chunk"), col("chunk_text"))))),
             x => x.getField("chunk_text")), " ")).as("clean_md5"))
-      .join(chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks")), "doc_id")
+      .filter(col("kept_chunks") >= 1)
       .select("doc_id", "n_chunks", "kept_chunks", "clean_md5")
       .orderBy("doc_id")
   }

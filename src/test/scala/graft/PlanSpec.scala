@@ -108,6 +108,26 @@ class PlanSpec extends SparkSpec {
         finalPlan.take(3000))
   }
 
+  test("llm_dedup_chunk: chunk text crosses exactly 3 exchanges (no keep-join)") {
+    // chunk build (doc_id,chunk) + dedup window (key) + doc rollup
+    // (doc_id) — the former first-aggregate+join-back shape paid a 4th
+    // full-text exchange; a regression back to it fails here
+    val df = graft.operators.TextOps.queries("llm_dedup_chunk")(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges <= 3,
+      s"expected ≤3 hash exchanges, got $exchanges:\n" + finalPlan.take(3000))
+    // and none of them may carry the text twice: the key-partitioned
+    // exchange must be the only one downstream of chunk_text's birth
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "keep-decision must not be a join:\n" + finalPlan.take(3000))
+  }
+
   test("sql_q17: correlated aggregate subqueries decorrelate into joins") {
     val plan = executedPlan(SqlQueries.queries("sql_q17")(spark, sf))
     // the per-part COUNT and SUM subqueries must rewrite to one aggregate

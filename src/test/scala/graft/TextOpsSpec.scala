@@ -95,4 +95,20 @@ class TextOpsSpec extends SparkSpec {
     val n = TextOps.dedupExact(spark, sf).count()
     assert(n == docs.select("text").distinct().count())
   }
+
+  test("heavy words: exact at the 2% boundary despite the sketch") {
+    // n = 5000: "hot" sits EXACTLY on the 2% reporting line (100 =
+    // 5000·0.02), "warm" one count below; the once-only tail hammers
+    // MG decrements. k=64 ⇒ guarantee floor n/65 ≈ 76.9 < 99, so BOTH
+    // boundary words are guaranteed sketch candidates — the exact
+    // recount, not sketch noise, must make the keep/cut call.
+    val words = (Seq.fill(100)("hot") ++ Seq.fill(99)("warm") ++
+      (1 to 4801).map(i => s"tail_$i")).toDF("word").repartition(8)
+    val out = TextOps.heavyWordsOf(words)
+      .as[(String, Long, Long)].collect()
+    assert(out.forall(_._3 == 5000L))
+    val kept = out.map(r => r._1 -> r._2).toMap
+    assert(kept.get("hot").contains(100L), s"hot must survive at 2%: $kept")
+    assert(!kept.contains("warm"), s"warm (1.98%) must be cut: $kept")
+  }
 }
