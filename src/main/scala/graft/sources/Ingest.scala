@@ -52,8 +52,10 @@ object Ingest {
     * where rename is itself a non-atomic copy, the live data is still
     * never the thing mid-copy. A fresh (not-yet-created) `dst` promotes
     * without an aside step; `FileSystem.delete` returning false for a
-    * missing path must not read as failure. */
-  private def promote(fs: org.apache.hadoop.fs.FileSystem,
+    * missing path must not read as failure. Package-visible so
+    * IngestSpec can drive the failure branches through a FileSystem
+    * wrapper that vetoes the target rename. */
+  private[graft] def promote(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
       what: String): Unit = {
     val aside = new org.apache.hadoop.fs.Path(dst.toString + "_old")

@@ -78,4 +78,86 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.findChunk(spark, path, "D1", 150).count() == 0)
     assert(Ingest.findChunk(spark, path, "D1", 50).count() == 1)
   }
+
+  // ------------------------------------------------- promote crash paths
+
+  import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path => HPath}
+
+  /** Wrapper that vetoes the FIRST rename whose source ends with
+    * `failSrcSuffix` — the fault injection for promote's
+    * rename(tmp,dst)-fails branch. */
+  private class VetoRenameFs(underlying: FileSystem, failSrcSuffix: String)
+      extends FilterFileSystem(underlying) {
+    var vetoed = 0
+    override def rename(src: HPath, dst: HPath): Boolean =
+      if (vetoed == 0 && src.toString.endsWith(failSrcSuffix)) {
+        vetoed += 1; false
+      } else super.rename(src, dst)
+  }
+
+  private def rawFs(): FileSystem =
+    new HPath("file:///").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mkDirWithMarker(fs: FileSystem, dir: HPath, marker: String): Unit = {
+    fs.mkdirs(dir)
+    fs.create(new HPath(dir, marker), true).close()
+  }
+
+  test("promote: failed target rename restores the previous catalog") {
+    val root = new HPath("file://" + Files.createTempDirectory("graft_promote"))
+    val fs = rawFs()
+    val dst = new HPath(root, "catalog")
+    val tmp = new HPath(root, "catalog_tmp")
+    mkDirWithMarker(fs, dst, "OLD")
+    mkDirWithMarker(fs, tmp, "NEW")
+    val veto = new VetoRenameFs(fs, "catalog_tmp")
+    val e = intercept[IllegalStateException] {
+      Ingest.promote(veto, tmp, dst, "test")
+    }
+    assert(e.getMessage.contains("previous catalog restored"))
+    assert(veto.vetoed == 1)
+    // the live catalog is back at dst with its ORIGINAL content, the
+    // aside slot is drained, and the rewrite is still intact at tmp
+    assert(fs.exists(new HPath(dst, "OLD")), "previous catalog not restored")
+    assert(!fs.exists(new HPath(root, "catalog_old")), "aside left behind")
+    assert(fs.exists(new HPath(tmp, "NEW")), "rewrite lost")
+  }
+
+  test("promote: fresh dst (no live catalog) promotes without an aside") {
+    val root = new HPath("file://" + Files.createTempDirectory("graft_promote"))
+    val fs = rawFs()
+    val dst = new HPath(root, "catalog")
+    val tmp = new HPath(root, "catalog_tmp")
+    mkDirWithMarker(fs, tmp, "NEW")
+    Ingest.promote(fs, tmp, dst, "test")
+    assert(fs.exists(new HPath(dst, "NEW")))
+    assert(!fs.exists(tmp))
+    assert(!fs.exists(new HPath(root, "catalog_old")))
+  }
+
+  test("promote: success over a live catalog clears the aside") {
+    val root = new HPath("file://" + Files.createTempDirectory("graft_promote"))
+    val fs = rawFs()
+    val dst = new HPath(root, "catalog")
+    val tmp = new HPath(root, "catalog_tmp")
+    mkDirWithMarker(fs, dst, "OLD")
+    mkDirWithMarker(fs, tmp, "NEW")
+    Ingest.promote(fs, tmp, dst, "test")
+    assert(fs.exists(new HPath(dst, "NEW")) && !fs.exists(new HPath(dst, "OLD")))
+    assert(!fs.exists(new HPath(root, "catalog_old")), "aside not cleared")
+    assert(!fs.exists(tmp))
+  }
+
+  test("promote: stale aside from a prior crash is cleared, not fatal") {
+    val root = new HPath("file://" + Files.createTempDirectory("graft_promote"))
+    val fs = rawFs()
+    val dst = new HPath(root, "catalog")
+    val tmp = new HPath(root, "catalog_tmp")
+    mkDirWithMarker(fs, dst, "OLD")
+    mkDirWithMarker(fs, tmp, "NEW")
+    mkDirWithMarker(fs, new HPath(root, "catalog_old"), "STALE")
+    Ingest.promote(fs, tmp, dst, "test")
+    assert(fs.exists(new HPath(dst, "NEW")))
+    assert(!fs.exists(new HPath(root, "catalog_old")))
+  }
 }
