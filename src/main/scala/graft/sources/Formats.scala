@@ -83,6 +83,36 @@ object Formats {
       .orderBy("l_returnflag")
   }
 
+  /** Plain text lines — the rawest lake input format (crawl dumps,
+    * logs). documents → one tab-framed line per row → read back as
+    * lines → parse → per-lang rollup; the oracle reads the original
+    * parquet, so the char-count sum catches any byte-level framing
+    * loss. (The corpus is printable-ASCII with no tabs/newlines, which
+    * is what makes tab framing lossless here.)
+    *
+    * Avro is deliberately NOT covered: /opt/spark/jars carries the
+    * avro core libraries (avro-1.12.1, avro-mapred) but not the
+    * spark-avro DataSource module (`spark-avro_2.13`), so
+    * `.format("avro")` cannot resolve in this environment and no
+    * managed dependency may be added. */
+  def sourceTextline(s: SparkSession, d: String): DataFrame = {
+    val dir = cacheDir("text", d)
+    Tables.documents(s, d)
+      .select(concat_ws("\t",
+        col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val parts = split(col("value"), "\t", 3)
+    s.read.text(dir)
+      .select(parts.getItem(0).cast("bigint").as("doc_id"),
+        parts.getItem(1).as("lang"),
+        parts.getItem(2).as("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------ z-order
 
   /** Bits per dimension of the events z layout: 4 + 4 → a 16×16 grid,
@@ -211,6 +241,17 @@ object Formats {
   /** Where the z-clustered events layout lives for `d`. */
   def zLayoutDir(d: String): String = cacheDir("zorder", d)
 
+  /** Build the z layout only if absent (parquet's `_SUCCESS` marker =
+    * complete build) — a clustered layout is written once and queried
+    * many times, so the per-query cost is the pruned read, not the
+    * 256-directory write; same amortization contract as the trained
+    * IVF layout (VectorOps.ensureTrainedLayout, Bench warm-up). */
+  def ensureZLayout(s: SparkSession, d: String): String = {
+    val dir = zLayoutDir(d)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) writeZLayout(s, d)
+    dir
+  }
+
   /** Write events clustered by z(user bucket, day bucket) on the 16×16
     * grid — up to 256 partition dirs, each file additionally sorted by
     * (user_id, ts) for row-group min/max locality inside the cell.
@@ -238,7 +279,7 @@ object Formats {
     * predicates cut within the cells. Results are layout-independent,
     * so the oracle reads the original events table. */
   def layoutZorder(s: SparkSession, d: String): DataFrame = {
-    val dir = writeZLayout(s, d)
+    val dir = ensureZLayout(s, d)
     val zPred = zRangesFor(1, 1, 4, 7)
       .map { case (lo, hi) =>
         if (lo == hi) col("zb") === lo else col("zb").between(lo, hi) }
@@ -255,10 +296,11 @@ object Formats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "source_csv"    -> (sourceCsv(_, _)),
-    "source_json"   -> (sourceJson(_, _)),
-    "source_orc"    -> (sourceOrc(_, _)),
-    "layout_zorder" -> (layoutZorder(_, _)))
+    "source_csv"      -> (sourceCsv(_, _)),
+    "source_json"     -> (sourceJson(_, _)),
+    "source_orc"      -> (sourceOrc(_, _)),
+    "source_textline" -> (sourceTextline(_, _)),
+    "layout_zorder"   -> (layoutZorder(_, _)))
 
   /** Oracles read the ORIGINAL parquet tables — the round-trip must be
     * lossless for the hashes to match. */
@@ -275,6 +317,12 @@ object Formats {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
         |  MIN(c_name) AS first_name
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "source_textline" ->
+      """SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "source_orc" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
