@@ -549,6 +549,30 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** BPE tokenizer-training kernel: the most frequent adjacent
+    * character pairs over the corpus — the statistic one merge round of
+    * byte-pair encoding (Sennrich et al. '16) is built on. The scalable
+    * shape is two-level: corpus → vocab FIRST (`groupBy(word)`, so the
+    * wide shuffle carries each DISTINCT word once with its count, never
+    * the token stream — the same vocab compression every real BPE
+    * trainer does), then vocab → weighted pair counts (tiny: ≤
+    * len(word)−1 pairs per distinct word). Full BPE iterates: merge the
+    * top pair into one symbol, re-pair, repeat — a driver loop over
+    * this kernel with the vocab (not the corpus) as state. */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substr(word, i, 2))"))
+        .as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   /** Train/eval decontamination: eval docs (odd doc_id) sharing too many
     * 3-gram shingles with any train doc (even doc_id). The inverted-index
     * join on shingles is the scalable form — candidate pairs only where a
@@ -653,6 +677,7 @@ object TextOps {
     "llm_heavy_words"   -> (heavyWords(_, _)),
     "llm_dedup_chunk"   -> (dedupChunks(_, _)),
     "llm_bigrams"       -> (bigrams(_, _)),
+    "llm_bpe_pairs"     -> (bpePairs(_, _)),
     "llm_contamination" -> (contamination(_, _)),
     "llm_dedup_exact"   -> (dedupExact(_, _)),
     "llm_text_stats"    -> (textStats(_, _)),
@@ -857,6 +882,17 @@ object TextOps {
         |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair, f
+        |  FROM vocab)
+        |SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "llm_bigrams" ->
       """WITH bg AS (
         |  SELECT lang,

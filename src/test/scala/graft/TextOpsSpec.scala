@@ -96,6 +96,19 @@ class TextOpsSpec extends SparkSpec {
     assert(n == docs.select("text").distinct().count())
   }
 
+  test("bpe pair counts match a driver-side brute force") {
+    val texts = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+    val brute = scala.collection.mutable.HashMap.empty[String, Long]
+    texts.flatMap(_.split(" ")).filter(_.length >= 2).foreach { w =>
+      w.sliding(2).foreach(p => brute(p) = brute.getOrElse(p, 0L) + 1L)
+    }
+    val expect = brute.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = TextOps.bpePairs(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expect)
+  }
+
   test("heavy words: exact at the 2% boundary despite the sketch") {
     // n = 5000: "hot" sits EXACTLY on the 2% reporting line (100 =
     // 5000·0.02), "warm" one count below; the once-only tail hammers
