@@ -573,6 +573,61 @@ object TextOps {
       .limit(20)
   }
 
+  /** Full BPE training loop over a (word, freq) vocab: `nMerges` rounds
+    * of count-pairs → pick-top → merge-in-place. The corpus is read
+    * exactly once (the vocab build); every round after that runs over
+    * the DISTINCT-WORD symbol table — at 100 TB that is the difference
+    * between re-scanning petabytes per merge and iterating a
+    * few-million-row frame. Each round is one aggregate (the pair
+    * count, collected as ONE top-1 row — model state, same class as
+    * AQE's runtime scalars) plus a codegen'd `aggregate`-lambda rewrite
+    * of the symbol arrays; `localCheckpoint` caps the lineage the same
+    * way the k-means loop does. Returns the merges in training order.
+    * TextOpsSpec checks the whole trace against a driver brute force. */
+  def bpeTrain(vocab: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var v = vocab // (symbols: array<string>, f: bigint)
+      .select(split(col("word"), "").as("symbols"), col("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      // the size guard matters: a fully-merged word has ONE symbol and
+      // sequence(1, 0) is DESCENDING in Spark — it would fabricate
+      // null-field pairs, not an empty list
+      val top = v.filter(size(col("symbols")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(symbols)-1),
+            |  i -> struct(symbols[i-1] AS a, symbols[i] AS b))""".stripMargin))
+          .as("p"), col("f"))
+        .groupBy("p").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p.a"), col("p.b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val p = top(0).getStruct(0)
+        val (a, b) = (p.getString(0), p.getString(1))
+        merges += ((a, b))
+        // fold left over the symbols, joining each (a,b) adjacency —
+        // the per-word merge is sequential by nature (overlaps resolve
+        // greedily left-to-right), so an aggregate lambda, not a join
+        val merged = v.withColumn("symbols",
+          aggregate(col("symbols"), array().cast("array<string>"),
+            (acc, s) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), s))))
+              .otherwise(concat(acc, array(s)))))
+        val next = merged.localCheckpoint()
+        v.unpersist(blocking = false)
+        v = next
+      }
+      round += 1
+    }
+    v.unpersist(blocking = false)
+    merges.toSeq
+  }
+
   /** Train/eval decontamination: eval docs (odd doc_id) sharing too many
     * 3-gram shingles with any train doc (even doc_id). The inverted-index
     * join on shingles is the scalable form — candidate pairs only where a

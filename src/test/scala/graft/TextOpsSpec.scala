@@ -109,6 +109,49 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("bpeTrain: 5-merge trace matches a driver brute force") {
+    val vocabDf = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    val got = TextOps.bpeTrain(vocabDf, 5)
+
+    // brute force with IDENTICAL greedy left-to-right merge semantics
+    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (acc.last + s)
+        else acc :+ s
+      }
+    var vocab: Map[Vector[String], Long] = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) =>
+        w.split("").toVector -> ws.size.toLong }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    (1 to 5).foreach { _ =>
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+      expect += ((a, b))
+      vocab = vocab.toSeq.map { case (syms, f) => (mergeWord(syms, a, b), f) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+    assert(got == expect.toSeq)
+  }
+
+  test("bpeTrain: fully-merged single-symbol words stop contributing pairs") {
+    // round 1 merges (a,b); "ab" then has ONE symbol and must fall out
+    // of the pair counts — a descending sequence(1,0) would instead
+    // fabricate weight-100 null pairs and hijack round 2
+    val vocab = Seq(("ab", 100L), ("abc", 1L)).toDF("word", "f")
+    val merges = TextOps.bpeTrain(vocab, 2)
+    assert(merges == Seq(("a", "b"), ("ab", "c")))
+  }
+
   test("heavy words: exact at the 2% boundary despite the sketch") {
     // n = 5000: "hot" sits EXACTLY on the 2% reporting line (100 =
     // 5000·0.02), "warm" one count below; the once-only tail hammers
