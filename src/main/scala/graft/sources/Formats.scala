@@ -224,7 +224,7 @@ object Formats {
   }
 
   /** Column-level Morton interleave (codegen'd bit ops, no UDF). */
-  private def zInterleaveCol(ub: org.apache.spark.sql.Column,
+  private[graft] def zInterleaveCol(ub: org.apache.spark.sql.Column,
       tb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
     (0 until bits).map { i =>
       shiftright(ub, i).bitwiseAND(1) * lit(1 << (2 * i)) +

@@ -1,14 +1,14 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Formats
 
-/** Pure-math pins for the z-order machinery (no Spark session): encode/
-  * decode, the quadtree z-range splitter vs brute-force cell
-  * enumeration over EVERY box in the grid, and BIGMIN vs brute force
-  * over every (box, zcur) pair. The pruning these enable is asserted on
-  * real files in ScaleSpec ("z-order layout"). */
-class ZOrderSpec extends AnyFunSuite {
+/** Pins for the z-order machinery: encode/decode, the column
+  * interleave vs the driver-side math, the quadtree z-range splitter
+  * vs brute-force cell enumeration over EVERY box in the grid, and
+  * BIGMIN vs brute force over every (box, zcur) pair. The pruning
+  * these enable is asserted on real files in ScaleSpec
+  * ("z-order layout"). */
+class ZOrderSpec extends SparkSpec {
 
   test("zEncode/zDecode round-trip every cell of the 16×16 grid") {
     for (x <- 0L until 16L; y <- 0L until 16L) {
@@ -27,6 +27,19 @@ class ZOrderSpec extends AnyFunSuite {
     assert((4L to 7L).map(Formats.zEncode(1L, _, 4)) == Seq(33L, 35L, 41L, 43L))
     assert(Formats.zRangesFor(1, 1, 4, 7) ==
       Seq((33, 33), (35, 35), (41, 41), (43, 43)))
+  }
+
+  test("zInterleaveCol (codegen'd) agrees with driver-side zEncode on all 256 cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y))
+      .toDF("x", "y")
+      .withColumn("z", Formats.zInterleaveCol(col("x"), col("y"), 4))
+      .as[(Int, Int, Int)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == Formats.zEncode(x, y, 4), s"cell ($x,$y)")
+    }
+    assert(got.length == 256)
   }
 
   private def bruteCells(xLo: Long, xHi: Long, yLo: Long, yHi: Long,
