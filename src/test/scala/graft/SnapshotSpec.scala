@@ -186,4 +186,58 @@ class SnapshotSpec extends SparkSpec {
     while (strays.hasNext) names += strays.next().getFileName.toString
     assert(!names.exists(_.startsWith("HEAD.tmp")), names.mkString(","))
   }
+
+  test("changesBetween: append range reads ONLY the delta files") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 100).toDF("n"))
+    SnapshotTable.commit(spark, t, (101 to 150).toDF("n"))
+    SnapshotTable.commit(spark, t, (151 to 160).toDF("n"))
+    val feed = SnapshotTable.changesBetween(spark, t, 1, 3)
+    assert(feed.select("n").as[Int].collect().sorted.toSeq == (101 to 160))
+    assert(feed.select("_change_type").distinct().as[String].collect()
+      .toSeq == Seq("insert"))
+    // the incremental consumer must not touch version-1 files
+    val v1Files = SnapshotTable.entries(t, 1).map(_.path).toSet
+    val scanned = feed.inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.forall(f => !v1Files.exists(f.endsWith)),
+      s"change feed scanned base files: ${scanned.intersect(v1Files)}")
+  }
+
+  test("changesBetween refuses ranges with overwrite commits") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 10).toDF("n"))
+    SnapshotTable.commit(spark, t, Seq(99).toDF("n"), append = false)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.changesBetween(spark, t, 1, 2)
+    }
+    assert(e.getMessage.contains("rowChanges"))
+  }
+
+  test("rowChanges classifies merge effects; unchanged rewrites cancel") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    // COW merge: update id=2, insert id=4 — ids 1 and 3 rewritten as-is
+    SnapshotTable.merge(spark, t,
+      Seq((2, "B"), (4, "d")).toDF("id", "v"), "id")
+    val got = SnapshotTable.rowChanges(spark, t, 1, 2, "id")
+      .select("id", "v", "_change_type").as[(Int, String, String)]
+      .collect().toSet
+    // ids 1/3 were rewritten byte-identical — the bag-diff cancels them;
+    // the (2,"b") pre-image is superseded by its postimage, not a delete
+    assert(got == Set((2, "B", "update_postimage"), (4, "d", "insert")))
+  }
+
+  test("rowChanges reports deletes when merge keys vanish") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t,
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // overwrite without id=2: a delete plus an unchanged rewrite of id=1
+    SnapshotTable.commit(spark, t, Seq((1, "a")).toDF("id", "v"),
+      append = false)
+    val got = SnapshotTable.rowChanges(spark, t, 1, 2, "id")
+      .select("id", "v", "_change_type").as[(Int, String, String)]
+      .collect().toSet
+    assert(got == Set((2, "b", "delete")))
+  }
 }
