@@ -191,8 +191,33 @@ object SnapshotTable {
         (r, f)
       } else (0L, Seq.empty[String])
     val version = prev + 1
+    // the manifest records the COMMIT's schema — readers apply it
+    // explicitly instead of inferring from data files, so adding a
+    // column is a metadata change: files committed before it simply
+    // read the new column as null, no rewrite, no mergeSchema
+    // footer-sweep over every file (the Iceberg/Delta shape). Only the
+    // newest schema line survives; each version's manifest pins the
+    // schema its readers should see. Appends UNION-widen (prior columns
+    // survive even if this batch omits them) and shared columns must
+    // keep their type — silent narrowing/retyping is how a lake table
+    // rots.
+    val pinned = (if (append && prev > 0) schemaOf(table, prev) else None) match {
+      case Some(ps) =>
+        df.schema.foreach { f =>
+          ps.find(_.name == f.name).foreach { old =>
+            require(old.dataType == f.dataType,
+              s"schema conflict on '${f.name}': table has ${old.dataType}, " +
+                s"commit has ${f.dataType}") }
+        }
+        org.apache.spark.sql.types.StructType(
+          ps.fields ++ df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+      case None => df.schema
+    }
+    val schemaLine = s"#schema=${pinned.json}"
+    val carried = prevLines.filterNot(_.startsWith("#schema="))
     // carry prior batch markers forward so replay detection sees history
-    writeManifest(table, version, meta ++ prevLines ++ newFiles, prevRows + newRows)
+    writeManifest(table, version,
+      (schemaLine +: meta) ++ carried ++ newFiles, prevRows + newRows)
     val tmp = headPath(table).resolveSibling(s"HEAD.tmp-${UUID.randomUUID()}")
     Files.write(tmp, f"manifest-$version%05d".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, headPath(table), StandardCopyOption.ATOMIC_MOVE,
@@ -242,10 +267,26 @@ object SnapshotTable {
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(table))
 
-  /** Time travel: read snapshot `version` as of its commit. */
+  /** The schema `version`'s manifest pins, if it was committed with one
+    * (pre-schema manifests fall back to file inference). */
+  def schemaOf(table: String, version: Long): Option[org.apache.spark.sql.types.StructType] =
+    readManifest(manifestDir(table).resolve(f"manifest-$version%05d"))._3
+      .find(_.startsWith("#schema="))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Time travel: read snapshot `version` as of its commit, under the
+    * schema that version pinned — files older than a column read it as
+    * null, and a version committed BEFORE a column was added never
+    * shows it (schema time travel rides along with data time travel). */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     require(version > 0, s"no committed snapshot in $table")
-    spark.read.parquet(entries(table, version).map(_.path): _*)
+    val paths = entries(table, version).map(_.path)
+    schemaOf(table, version) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   // ------------------------------------------------------- change feed
@@ -284,7 +325,12 @@ object SnapshotTable {
       if (added.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           readVersion(spark, table, to).schema)
-      else spark.read.parquet(added: _*)
+      else schemaOf(table, to) match {
+        // read under `to`'s pinned schema so a feed spanning a schema
+        // change is uniformly shaped
+        case Some(st) => spark.read.schema(st).parquet(added: _*)
+        case None => spark.read.parquet(added: _*)
+      }
     base.withColumn("_change_type", lit("insert"))
   }
 
@@ -300,12 +346,17 @@ object SnapshotTable {
   def rowChanges(spark: SparkSession, table: String,
       from: Long, to: Long, key: String): DataFrame = {
     require(from >= 1 && to >= from, s"bad version range $from..$to")
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
+    // both sides read under `to`'s pinned schema: pre-evolution files
+    // surface added columns as null, keeping the bag-diff well-typed
     def readFiles(fs: Seq[String]): DataFrame =
       if (fs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           readVersion(spark, table, to).schema)
-      else spark.read.parquet(fs: _*)
+      else schemaOf(table, to) match {
+        case Some(st) => spark.read.schema(st).parquet(fs: _*)
+        case None => spark.read.parquet(fs: _*)
+      }
     val before = readFiles(removedFiles(table, from, to))
     val after = readFiles(addedFiles(table, from, to))
     val changedAfter = after.exceptAll(before)   // new or modified rows

@@ -228,6 +228,48 @@ class SnapshotSpec extends SparkSpec {
     assert(got == Set((2, "B", "update_postimage"), (4, "d", "insert")))
   }
 
+  test("schema evolution: added column is metadata-only; schema time-travels") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    SnapshotTable.commit(spark, t, Seq((3, "c", 7.5)).toDF("id", "v", "score"))
+    // current read: v1 files were never rewritten, score arrives as null
+    val cur = SnapshotTable.read(spark, t)
+      .select("id", "v", "score").as[(Int, String, Option[Double])]
+      .collect().toSet
+    assert(cur == Set((1, "a", None), (2, "b", None), (3, "c", Some(7.5))))
+    // time travel to v1 must NOT show the later column
+    assert(SnapshotTable.readVersion(spark, t, 1).columns.toSeq == Seq("id", "v"))
+  }
+
+  test("schema evolution: append omitting a column union-widens, not narrows") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    SnapshotTable.commit(spark, t, Seq(Tuple1(9)).toDF("id"))
+    val cur = SnapshotTable.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "v"))
+    assert(cur.filter($"id" === 9).select("v").first().isNullAt(0))
+  }
+
+  test("schema evolution: retyping a column is refused") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, Seq((1, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, t, Seq((2, 3.0)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("schema conflict"))
+  }
+
+  test("changesBetween spans a schema change with uniform shape") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, Seq((1, "a")).toDF("id", "v"))
+    SnapshotTable.commit(spark, t, Seq((2, "b")).toDF("id", "v"))
+    SnapshotTable.commit(spark, t, Seq((3, "c", 1.5)).toDF("id", "v", "score"))
+    val feed = SnapshotTable.changesBetween(spark, t, 1, 3)
+      .select("id", "v", "score", "_change_type")
+      .as[(Int, String, Option[Double], String)].collect().toSet
+    assert(feed == Set((2, "b", None, "insert"), (3, "c", Some(1.5), "insert")))
+  }
+
   test("rowChanges reports deletes when merge keys vanish") {
     val t = tmp()
     SnapshotTable.commit(spark, t,
