@@ -71,7 +71,21 @@ object SnapshotTable {
     val p = manifestDir(table).resolve(f"manifest-$version%05d")
     val body = (s"version=$version" +: s"rows=$rows" +: lines).mkString("\n")
     Files.createDirectories(p.getParent)
-    Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+    // CREATE_NEW is the optimistic-concurrency gate: two writers racing
+    // from the same base both compute version N+1, and exactly one may
+    // own that manifest name — the loser fails here BEFORE the HEAD
+    // swap, leaving only an orphan data dir (vacuumOrphans reclaims
+    // it). On S3 this line becomes a conditional PUT (If-None-Match),
+    // the same single line that changes for HEAD (SURVEY §3.1).
+    try
+      Files.write(p, body.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          f"manifest-$version%05d already committed by a concurrent " +
+            "writer — re-read HEAD and retry the commit")
+    }
     p
   }
 
@@ -246,6 +260,28 @@ object SnapshotTable {
     }.distinct.filterNot(kept)
     dropped.foreach(f => Files.deleteIfExists(Paths.get(f)))
     dropped
+  }
+
+  /** Delete data directories no manifest references — the debris of
+    * commits that crashed (or lost the optimistic-concurrency race)
+    * between the data write and the manifest write. Such dirs are
+    * invisible to every reader (manifests are the source of truth), so
+    * reclaiming them is pure storage hygiene; a real deployment adds a
+    * modification-time grace period so an IN-FLIGHT commit's dir isn't
+    * swept before its manifest lands. Returns the removed dirs. */
+  def vacuumOrphans(table: String): Seq[String] = {
+    val dataRoot = Paths.get(table, "data")
+    if (!Files.exists(dataRoot)) return Seq.empty
+    val referenced = versions(table).flatMap(v => entries(table, v))
+      .map(e => Paths.get(e.path).getParent.getFileName.toString).toSet
+    val orphans = Files.list(dataRoot).iterator().asScala
+      .filter(d => Files.isDirectory(d) &&
+        !referenced.contains(d.getFileName.toString))
+      .toSeq
+    orphans.foreach { d =>
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    orphans.map(_.toString)
   }
 
   /** MERGE (upsert) by key — Delta/Iceberg's copy-on-write shape: rows

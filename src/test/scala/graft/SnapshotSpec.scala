@@ -290,6 +290,35 @@ class SnapshotSpec extends SparkSpec {
     assert(running == full && full == (1 to 30).sum)
   }
 
+  test("concurrent commit from a stale base fails before HEAD moves") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 5).toDF("n"))
+    // a racing writer already owns manifest-2
+    val stolen = java.nio.file.Paths.get(t, "manifests", "manifest-00002")
+    java.nio.file.Files.write(stolen,
+      "version=2\nrows=0".getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commit(spark, t, (6 to 9).toDF("n"))
+    }
+    // HEAD still points at version 1; the loser left no partial state
+    // visible to readers
+    assert(SnapshotTable.currentVersion(t) == 1L)
+    assert(SnapshotTable.read(spark, t).count() == 5)
+    // ... only an orphan data dir, which vacuum reclaims
+    val removed = SnapshotTable.vacuumOrphans(t)
+    assert(removed.size == 1, s"expected the loser's data dir: $removed")
+    assert(SnapshotTable.read(spark, t).count() == 5)
+  }
+
+  test("vacuumOrphans keeps every referenced file across all versions") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 5).toDF("n"))
+    SnapshotTable.commit(spark, t, (6 to 8).toDF("n"))
+    assert(SnapshotTable.vacuumOrphans(t).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == 8)
+    assert(SnapshotTable.readVersion(spark, t, 1).count() == 5)
+  }
+
   test("rowChanges reports deletes when merge keys vanish") {
     val t = tmp()
     SnapshotTable.commit(spark, t,
