@@ -462,6 +462,47 @@ object VectorOps {
           .as("max_err"))
       .orderBy("vec_id")
 
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup by
+    * clustering the embedding space and comparing pairs ONLY within a
+    * cell — the corpus-wide all-pairs matrix never exists, and the
+    * quadratic term is bounded by the largest cell, not the corpus
+    * (the embedding-space analog of MinHash banding). Cells here are
+    * the deterministic seeded iteration-0 assignment ([[annIvf]]'s
+    * seeds); production swaps in [[kmeans]]-trained centroids without
+    * changing the query shape. The similarity decision runs on
+    * int8-quantized vectors ([[quantizeInt8]]'s scheme) in pure
+    * INTEGER arithmetic — cos ≥ 0.4 ⟺ dot > 0 ∧ 25·dot² ≥ 4·|a|²·|b|²
+    * (threshold calibrated to this corpus's cosine range; real corpora
+    * with true near-dups run ≥ 0.9) — so the DuckDB oracle replays it
+    * hash-exactly. Output: the DROPPED rows — any vector with a
+    * lower-id near-dup in its cell (the min-id representative
+    * survives, SemDeDup's keep rule). The self-join shuffles 64-byte
+    * int8 vectors by cell, never the float corpus. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val q = kmeansAssign(emb, cents)
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          .as("maxabs"))
+      .select(col("vec_id"), col("cell"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("maxabs") * 127).cast("long"))
+          .as("qv"))
+      .withColumn("nq", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+    q.as("a").join(q.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_id"),
+        aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("na") * col("nb") * 4)
+      .select("cell", "vec_id").distinct()
+      .orderBy("cell", "vec_id")
+  }
+
   /** Vector stats: exact norms and dimension checks per vector subset. */
   def embedStats(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -482,6 +523,7 @@ object VectorOps {
     "llm_embed_lsh"     -> (embedLshPairs(_, _)),
     "llm_kmeans"        -> (kmeansSummary(_, _)),
     "llm_quantize"      -> (quantizeInt8(_, _)),
+    "llm_semdedup"      -> (semDedup(_, _)),
     "llm_ann_trained"   -> (annIvfTrained(_, _))
   )
 
@@ -590,6 +632,35 @@ object VectorOps {
         |  WHERE a.vec_id < 100 AND b.vec_id < 100)
         |SELECT id_a, id_b, label, sim FROM cos WHERE sim > 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, emb, cell FROM (
+        |    SELECT e.vec_id, e.emb, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(e.emb)),
+        |            i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]))),
+        |          (a, x) -> a + x), 9), c.cell) AS rn
+        |    FROM e, cents c)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(emb, x -> CAST(round(x /
+        |      list_max(list_transform(emb, y -> abs(y))) * 127) AS BIGINT)) AS qv
+        |  FROM assigned),
+        |n AS (SELECT vec_id, cell, qv,
+        |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nq FROM q),
+        |p AS (
+        |  SELECT a.cell AS cell, b.vec_id AS vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+        |      i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
+        |    a.nq AS na, b.nq AS nb
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT DISTINCT cell, vec_id FROM p
+        |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb
+        |ORDER BY cell, vec_id""".stripMargin,
     "llm_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

@@ -109,6 +109,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("semDedup: a cell's minimum id always survives; drops have an in-cell witness") {
+    import org.apache.spark.sql.functions.{col, min}
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val cellMin = VectorOps.kmeansAssign(emb, cents)
+      .groupBy("cell").agg(min("vec_id").as("mn"))
+      .as[(Long, Long)].collect().toMap
+    val dropped = VectorOps.semDedup(spark, sf).as[(Long, Long)].collect()
+    assert(dropped.nonEmpty)
+    dropped.foreach { case (cell, id) =>
+      assert(id > cellMin(cell),
+        s"dropped $id is (or precedes) cell $cell's representative ${cellMin(cell)}")
+    }
+  }
+
   test("IVF ANN recall@5 vs brute force ≥ 0.4 with 2/8 cells probed") {
     val bf = VectorOps.simSearch(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
