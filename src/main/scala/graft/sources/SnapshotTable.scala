@@ -185,8 +185,8 @@ object SnapshotTable {
     commitWithMeta(spark, table, df, append = true, meta = Seq(s"#batch=$batchId"))
   }
 
-  private def commitWithMeta(spark: SparkSession, table: String, df: DataFrame,
-      append: Boolean, meta: Seq[String]): Long = {
+  private[sources] def commitWithMeta(spark: SparkSession, table: String,
+      df: DataFrame, append: Boolean, meta: Seq[String]): Long = {
     val dataDir = Paths.get(table, "data", UUID.randomUUID().toString)
     df.write.parquet(dataDir.toString)
     val conf = spark.sessionState.newHadoopConf()
@@ -299,6 +299,102 @@ object SnapshotTable {
     commit(spark, table, kept.unionByName(updates), append = false)
   }
 
+  /** Commit a REWRITE: `carried` files enter the new manifest by
+    * reference (same path, same stats — zero bytes moved) while `df`
+    * is written out as the replacement for whatever the caller chose to
+    * rewrite. This is the primitive under [[deleteWhere]] and
+    * [[compact]]: both are "touch few files, re-list the rest", which
+    * is the only shape that survives 100 TB — an operation whose cost
+    * scales with the AFFECTED data, not the table. Zero-row output
+    * files are dropped from the listing (a delete that empties a file
+    * should shrink the manifest, not pad it). */
+  private def commitRewrite(spark: SparkSession, table: String,
+      df: DataFrame, carried: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType,
+      meta: Seq[String]): Long = {
+    val dataDir = Paths.get(table, "data", UUID.randomUUID().toString)
+    df.write.parquet(dataDir.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val newEntries = Files.list(dataDir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      .map(f => scrapeFooter(conf, f)).filter(_.rows > 0)
+    val lines = (carried ++ newEntries).map(_.render)
+    val rows = (carried ++ newEntries).map(_.rows).sum
+    val version = currentVersion(table) + 1
+    writeManifest(table, version,
+      (s"#schema=${schema.json}" +: meta) ++ lines, rows)
+    val tmp = headPath(table).resolveSibling(s"HEAD.tmp-${UUID.randomUUID()}")
+    Files.write(tmp, f"manifest-$version%05d".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, headPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** Copy-on-write DELETE with manifest-stat pruning: only files whose
+    * footer [min, max] on `column` can contain rows in `[lo, hi]` are
+    * read and rewritten; every other file carries into the new snapshot
+    * by reference. At 100 TB a delete that touches one day of data
+    * rewrites that day's files, not the table — the same stats that
+    * prune [[readRange]]'s reads prune this write. A delete whose range
+    * overlaps nothing is a pure metadata no-op (no new version). Old
+    * versions keep the deleted rows (time travel); [[expireSnapshots]]
+    * is the actual destruction step, which is exactly the GDPR-style
+    * two-phase contract lakes document. */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = currentVersion(table)
+    require(v > 0, s"no committed snapshot in $table")
+    val all = entries(table, v)
+    val (touched, untouched) = all.partition { e =>
+      e.stats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    if (touched.isEmpty) return v
+    val schema = schemaOf(table, v)
+    val base = schema match {
+      case Some(st) => spark.read.schema(st).parquet(touched.map(_.path): _*)
+      case None => spark.read.parquet(touched.map(_.path): _*)
+    }
+    val kept = base.filter(!(col(column) >= lo && col(column) <= hi))
+    commitRewrite(spark, table, kept, untouched,
+      schema.getOrElse(base.schema), meta = Seq.empty)
+  }
+
+  /** OPTIMIZE / bin-pack: coalesce files smaller than `targetRows` into
+    * ~`targetRows`-sized ones, carrying already-right-sized files by
+    * reference. Small files are the classic lake failure mode — every
+    * streaming micro-batch commit adds a few, and a year later a scan
+    * opens a million footers. Compaction is a normal snapshot commit:
+    * readers pinned to old versions still see the small files until
+    * [[expireSnapshots]] reclaims them, and the data is bit-for-bit the
+    * same (the spec asserts set-equality). `coalesce`, not
+    * `repartition`: bin-packing needs no shuffle, just fewer, fuller
+    * writers. */
+  def compact(spark: SparkSession, table: String,
+      targetRows: Long): Long = {
+    val v = currentVersion(table)
+    require(v > 0, s"no committed snapshot in $table")
+    val all = entries(table, v)
+    val (small, large) = all.partition(e => e.rows >= 0 && e.rows < targetRows)
+    if (small.size < 2) return v
+    val schema = schemaOf(table, v)
+    val df = schema match {
+      case Some(st) => spark.read.schema(st).parquet(small.map(_.path): _*)
+      case None => spark.read.parquet(small.map(_.path): _*)
+    }
+    val nOut = math.max(1L,
+      math.ceil(small.map(_.rows).sum.toDouble / targetRows).toLong).toInt
+    commitRewrite(spark, table, df.coalesce(nOut), large,
+      schema.getOrElse(df.schema), meta = Seq.empty)
+  }
+
+  /** Metadata (`#`-prefixed) lines of `version`'s manifest — batch
+    * markers, pinned schema, consumer bookmarks like
+    * [[MaterializedView]]'s `#basedon`. */
+  def manifestMeta(table: String, version: Long): Seq[String] =
+    readManifest(manifestDir(table).resolve(f"manifest-$version%05d"))._3
+      .filter(_.startsWith("#"))
+
   /** Read the current snapshot (resolves HEAD exactly once). */
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(table))
@@ -378,9 +474,15 @@ object SnapshotTable {
     * unchanged — the standard way to recover a change feed from a COW
     * table that doesn't journal per-row changes (what Delta computes
     * when CDF isn't materialized). Assumes `key` is unique per
-    * snapshot, which [[merge]] maintains. */
+    * snapshot, which [[merge]] maintains.
+    *
+    * `includePreimages = true` additionally emits each updated row's OLD
+    * value tagged `update_preimage` — the full Delta-CDF row contract,
+    * and the piece an incremental aggregate consumer needs to SUBTRACT
+    * before adding the postimage ([[MaterializedView.refresh]]). */
   def rowChanges(spark: SparkSession, table: String,
-      from: Long, to: Long, key: String): DataFrame = {
+      from: Long, to: Long, key: String,
+      includePreimages: Boolean = false): DataFrame = {
     require(from >= 1 && to >= from, s"bad version range $from..$to")
     import org.apache.spark.sql.functions.lit
     // both sides read under `to`'s pinned schema: pre-evolution files
@@ -399,12 +501,16 @@ object SnapshotTable {
     val changedBefore = before.exceptAll(after)  // deleted rows + pre-images
     val beforeKeys = before.select(key)
     val afterKeys = after.select(key)
-    changedAfter.join(beforeKeys, Seq(key), "left_semi")
+    val core = changedAfter.join(beforeKeys, Seq(key), "left_semi")
       .withColumn("_change_type", lit("update_postimage"))
       .unionByName(changedAfter.join(beforeKeys, Seq(key), "left_anti")
         .withColumn("_change_type", lit("insert")))
       .unionByName(changedBefore.join(afterKeys, Seq(key), "left_anti")
         .withColumn("_change_type", lit("delete")))
+    if (!includePreimages) core
+    else core.unionByName(
+      changedBefore.join(afterKeys, Seq(key), "left_semi")
+        .withColumn("_change_type", lit("update_preimage")))
   }
 
   /** Data files of `version` whose manifest stats overlap `[lo, hi]` on

@@ -331,4 +331,131 @@ class SnapshotSpec extends SparkSpec {
       .collect().toSet
     assert(got == Set((2, "b", "delete")))
   }
+
+  test("rowChanges preimages complete the update pair") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t,
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    SnapshotTable.merge(spark, t, Seq((2, "B"), (3, "c")).toDF("id", "v"), "id")
+    val got = SnapshotTable.rowChanges(spark, t, 1, 2, "id",
+        includePreimages = true)
+      .select("id", "v", "_change_type").as[(Int, String, String)]
+      .collect().toSet
+    assert(got == Set(
+      (2, "b", "update_preimage"), (2, "B", "update_postimage"),
+      (3, "c", "insert")))
+  }
+
+  test("deleteWhere rewrites only stat-overlapping files; the rest carry by reference") {
+    val t = tmp()
+    // two commits with disjoint n-ranges → file-level stats separate them
+    SnapshotTable.commit(spark, t, (1 to 100).toDF("n").coalesce(1))
+    SnapshotTable.commit(spark, t, (1000 to 1100).toDF("n").coalesce(1))
+    val before = SnapshotTable.entries(t, 2L)
+    val lowFiles = before.filter(_.stats("n")._2 < 1000).map(_.path).toSet
+    assert(lowFiles.nonEmpty)
+    val v3 = SnapshotTable.deleteWhere(spark, t, "n", 1050, 1075)
+    assert(v3 == 3L)
+    val after = SnapshotTable.entries(t, 3L)
+    // the low-range file survives with its exact original path: zero
+    // bytes of it moved; only the overlapping file was rewritten
+    assert(lowFiles.subsetOf(after.map(_.path).toSet))
+    assert(after.map(_.path).toSet.intersect(
+      before.map(_.path).toSet -- lowFiles).isEmpty)
+    val got = SnapshotTable.read(spark, t).as[Int].collect().sorted.toSeq
+    assert(got == ((1 to 100) ++ (1000 to 1049) ++ (1076 to 1100)))
+    // pre-delete snapshot still time-travels with the deleted rows
+    assert(SnapshotTable.readVersion(spark, t, 2).count() == 201)
+    // a miss is a metadata no-op: same version back, no new manifest
+    assert(SnapshotTable.deleteWhere(spark, t, "n", 5000, 6000) == 3L)
+    assert(SnapshotTable.versions(t) == Seq(1L, 2L, 3L))
+  }
+
+  test("compact bin-packs small files and preserves data + history") {
+    val t = tmp()
+    for (i <- 0 until 6)
+      SnapshotTable.commit(spark, t,
+        ((i * 10 + 1) to (i * 10 + 10)).toDF("n").coalesce(1))
+    val small = SnapshotTable.entries(t, 6L)
+    assert(small.size == 6 && small.forall(_.rows == 10))
+    val v7 = SnapshotTable.compact(spark, t, targetRows = 100)
+    assert(v7 == 7L)
+    val packed = SnapshotTable.entries(t, 7L)
+    assert(packed.size == 1, s"expected 1 packed file, got ${packed.size}")
+    assert(packed.head.rows == 60)
+    assert(SnapshotTable.read(spark, t).as[Int].collect().sorted.toSeq
+      == (1 to 60))
+    // pre-compaction version still reads the small files
+    assert(SnapshotTable.readVersion(spark, t, 6).count() == 60)
+    // already-compacted table: no-op, no new version
+    assert(SnapshotTable.compact(spark, t, targetRows = 100) == 7L)
+    // GC then reclaims the small files
+    val dropped = SnapshotTable.expireSnapshots(t, keepLast = 1)
+    assert(dropped.size == 6)
+    assert(SnapshotTable.read(spark, t).count() == 60)
+  }
+
+  test("compact carries right-sized files by reference") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t, (1 to 500).toDF("n").coalesce(1))
+    SnapshotTable.commit(spark, t, (501 to 505).toDF("n").coalesce(1))
+    SnapshotTable.commit(spark, t, (506 to 510).toDF("n").coalesce(1))
+    val bigPath = SnapshotTable.entries(t, 3L).filter(_.rows == 500)
+      .map(_.path).toSet
+    SnapshotTable.compact(spark, t, targetRows = 100)
+    val after = SnapshotTable.entries(t, 4L)
+    assert(bigPath.subsetOf(after.map(_.path).toSet))
+    assert(after.size == 2) // the big file + one packed file
+    assert(SnapshotTable.read(spark, t).as[Int].collect().sorted.toSeq
+      == (1 to 510))
+  }
+
+  test("materialized view: incremental refresh equals full recompute across append/merge/delete") {
+    import graft.sources.MaterializedView
+    val t = tmp()
+    val view = tmp()
+    def expected(): Set[(String, Long, Long)] =
+      SnapshotTable.read(spark, t).groupBy("g")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"),
+          sum($"x").as("total"))
+        .as[(String, Long, Long)].collect().toSet
+    def viewRows(): Set[(String, Long, Long)] =
+      SnapshotTable.read(spark, view)
+        .as[(String, Long, Long)].collect().toSet
+
+    // v1: initial build (full aggregate)
+    SnapshotTable.commit(spark, t,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)).toDF("id", "g", "x"))
+    MaterializedView.refresh(spark, t, view, "id", "g", "x")
+    assert(viewRows() == expected())
+
+    // v2: append — incremental path over insert feed
+    SnapshotTable.commit(spark, t,
+      Seq((4L, "b", 7L), (5L, "c", 100L)).toDF("id", "g", "x"))
+    MaterializedView.refresh(spark, t, view, "id", "g", "x")
+    assert(viewRows() == expected())
+
+    // v3: merge updates a value and moves a row across groups
+    SnapshotTable.merge(spark, t,
+      Seq((2L, "b", 25L), (6L, "a", 1L)).toDF("id", "g", "x"), "id")
+    MaterializedView.refresh(spark, t, view, "id", "g", "x")
+    assert(viewRows() == expected())
+
+    // v4: copy-on-write delete drains group c entirely
+    SnapshotTable.deleteWhere(spark, t, "x", 100L, 100L)
+    MaterializedView.refresh(spark, t, view, "id", "g", "x")
+    assert(viewRows() == expected())
+    assert(!viewRows().exists(_._1 == "c"), "drained group must retire")
+
+    // base unmoved → refresh is a no-op (no new view version)
+    val vv = SnapshotTable.currentVersion(view)
+    assert(MaterializedView.refresh(spark, t, view, "id", "g", "x") == vv)
+    assert(MaterializedView.basedOn(view) == SnapshotTable.currentVersion(t))
+
+    // refreshes that skip versions still converge (v5+v6 in one hop)
+    SnapshotTable.commit(spark, t, Seq((7L, "d", 3L)).toDF("id", "g", "x"))
+    SnapshotTable.merge(spark, t, Seq((7L, "d", 4L)).toDF("id", "g", "x"), "id")
+    MaterializedView.refresh(spark, t, view, "id", "g", "x")
+    assert(viewRows() == expected())
+  }
 }
