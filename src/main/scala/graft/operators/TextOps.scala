@@ -628,6 +628,63 @@ object TextOps {
     merges.toSeq
   }
 
+  /** One BPE merge rule applied left-to-right over a symbol array — the
+    * training loop's rewrite step, reused verbatim at encode time so
+    * train and encode can never disagree on merge semantics. */
+  private def applyMerge(symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), s))))
+        .otherwise(concat(acc, array(s))))
+
+  /** BPE ENCODE: tokenize a `(word, …)` vocab with a trained merge list
+    * by folding the merges in training order over each word's symbols —
+    * the Sennrich '16 encode (rule application in rank order ≡ repeated
+    * lowest-rank-pair merging). All codegen'd array lambdas, no UDF; a
+    * `localCheckpoint` every 8 rules keeps the nested-lambda expression
+    * tree at fixed depth however long the merge table is. The 100 TB
+    * discipline is in the CALLER's shape: encode the DISTINCT-word
+    * vocab (this frame), then broadcast-join tokens back to the corpus
+    * ([[bpeEncodeDocs]]) — per-document re-encoding would re-run the
+    * merge fold once per occurrence instead of once per word. */
+  def bpeEncode(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var v = vocab.withColumn("tokens", split(col("word"), ""))
+    merges.grouped(8).foreach { chunk =>
+      chunk.foreach { case (a, b) =>
+        v = v.withColumn("tokens", applyMerge(col("tokens"), a, b))
+      }
+      val next = v.localCheckpoint()
+      v.unpersist(blocking = false)
+      v = next
+    }
+    v
+  }
+
+  /** End-to-end tokenization: train `nMerges` BPE rules on the corpus
+    * vocab ([[bpeTrain]]), encode the vocab ([[bpeEncode]]), and report
+    * the most frequent words with their learned subword splits plus the
+    * corpus compression the vocab buys (weighted tokens per word vs
+    * characters per word). Rows-only: the trained merge table is
+    * corpus-dependent model state, not expressible as static SQL —
+    * TextOpsSpec proves the encode against a driver brute force and the
+    * reconstruction invariant (concat(tokens) == word). */
+  def bpeEncodeDocs(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // one corpus read feeds both train and encode
+    val merges = bpeTrain(vocab, nMerges = 12)
+    bpeEncode(vocab, merges)
+      .select(col("word"), col("f"), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        length(col("word")).cast("long").as("n_chars"))
+      .orderBy(col("f").desc, col("word"))
+      .limit(30)
+  }
+
   /** Train/eval decontamination: eval docs (odd doc_id) sharing too many
     * 3-gram shingles with any train doc (even doc_id). The inverted-index
     * join on shingles is the scalable form — candidate pairs only where a
@@ -733,6 +790,7 @@ object TextOps {
     "llm_dedup_chunk"   -> (dedupChunks(_, _)),
     "llm_bigrams"       -> (bigrams(_, _)),
     "llm_bpe_pairs"     -> (bpePairs(_, _)),
+    "llm_bpe_encode"    -> (bpeEncodeDocs(_, _)),
     "llm_contamination" -> (contamination(_, _)),
     "llm_dedup_exact"   -> (dedupExact(_, _)),
     "llm_text_stats"    -> (textStats(_, _)),

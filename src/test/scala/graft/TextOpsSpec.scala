@@ -152,6 +152,52 @@ class TextOpsSpec extends SparkSpec {
     assert(merges == Seq(("a", "b"), ("ab", "c")))
   }
 
+  test("bpeEncode: matches driver brute force, reconstructs, and compresses") {
+    val vocabDf = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    // 18 merges forces the chunked fold across a checkpoint boundary
+    val merges = TextOps.bpeTrain(vocabDf, 18)
+    assert(merges.size > 8, "need enough rules to cross the 8-rule chunk")
+    val got = TextOps.bpeEncode(vocabDf, merges)
+      .select("word", "tokens").as[(String, Seq[String])]
+      .collect().toMap
+
+    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (acc.last + s)
+        else acc :+ s
+      }
+    got.foreach { case (word, tokens) =>
+      val expect = merges.foldLeft(word.split("").toVector) {
+        case (syms, (a, b)) => mergeWord(syms, a, b)
+      }
+      assert(tokens == expect, s"encode mismatch for '$word'")
+      // reconstruction invariant: BPE only ever concatenates
+      assert(tokens.mkString == word, s"'$word' does not reconstruct")
+    }
+    // training on this vocab must compress it: fewer tokens than chars
+    // (toSeq first — Map.keys is a SET and would dedup equal lengths)
+    val totTokens = got.toSeq.map(_._2.size).sum
+    val totChars = got.toSeq.map(_._1.length).sum
+    assert(totTokens < totChars, s"no compression: $totTokens vs $totChars")
+  }
+
+  test("bpeEncode: unseen words tokenize with trained rules") {
+    val trainVocab = Seq(("abab", 50L), ("abc", 10L)).toDF("word", "f")
+    val merges = TextOps.bpeTrain(trainVocab, 2) // (a,b) then (ab,ab)
+    val got = TextOps.bpeEncode(
+        Seq(("ababab", 1L), ("ba", 1L), ("cab", 1L)).toDF("word", "f"), merges)
+      .select("word", "tokens").as[(String, Seq[String])].collect().toMap
+    assert(merges.head == (("a", "b")))
+    // greedy left-to-right: ababab → ab ab ab → (abab)(ab)
+    assert(got("ababab") == Seq("abab", "ab"))
+    assert(got("ba") == Seq("b", "a"))   // no rule applies
+    assert(got("cab") == Seq("c", "ab")) // rule applies mid-word
+  }
+
   test("heavy words: exact at the 2% boundary despite the sketch") {
     // n = 5000: "hot" sits EXACTLY on the 2% reporting line (100 =
     // 5000·0.02), "warm" one count below; the once-only tail hammers
