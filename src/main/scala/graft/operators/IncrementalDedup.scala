@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** Near-dup dedup for CONTINUOUS ingestion: each arriving batch is
+  * checked against a persisted LSH band index of everything seen so
+  * far, instead of re-deduplicating the whole corpus per batch (the
+  * reference deduplicates at ingest against its existing catalog,
+  * /root/reference/src/data_manager.rs — this is that behavior lifted
+  * to near-dup semantics and lake scale).
+  *
+  * The index is a [[SnapshotTable]] of `(doc_id, band, bh)` rows — 8
+  * fixed-width rows per document regardless of document size, so a
+  * 100 TB corpus indexes in ~tens of GB. Per batch the work is:
+  *
+  *  1. band the batch ([[TextOps.bandSignatures]] — the exact hash
+  *     family the one-shot path uses, factored shared so the two can
+  *     never diverge);
+  *  2. one equi-join against the index on `(band, bh)` → batch docs
+  *     colliding with ANY earlier doc;
+  *  3. one self-join within the batch (smaller doc_id wins, the same
+  *     first-wins policy as [[TextOps.minhashPairs]] consumers);
+  *  4. append the batch's bands to the index — an append-only snapshot
+  *     commit, so the index grows by manifest entries, never rewrites.
+  *
+  * Cost per batch scales with the BATCH (the index side of the join
+  * ships band keys, never text; at cluster scale the index table would
+  * be bucketed by `bh` to make its side of the join shuffle-free).
+  * Dropped docs' bands are indexed too: the contract is "a doc is a
+  * dup iff it shares a band with ANY earlier doc", which makes
+  * incremental processing EXACTLY equal to the one-shot greedy over
+  * the concatenated corpus — the invariant IncrementalDedupSpec pins
+  * batch-by-batch. */
+object IncrementalDedup {
+
+  /** Process one batch of `(doc_id, text, …)` rows: returns the rows
+    * that survive dedup against both the index and the batch itself,
+    * and commits the batch's band signatures to `indexTable`. Batches
+    * must arrive in ascending doc_id order for first-wins to be
+    * meaningful (arrival order IS the id order in an ingest pipeline). */
+  def processBatch(spark: SparkSession, indexTable: String,
+      batch: DataFrame): DataFrame = {
+    val bands = TextOps.bandSignatures(batch).localCheckpoint()
+    val seenBefore =
+      if (SnapshotTable.currentVersion(indexTable) > 0)
+        bands.join(SnapshotTable.read(spark, indexTable),
+          Seq("band", "bh"), "left_semi")
+          .select("doc_id")
+      else bands.select("doc_id").limit(0)
+    val dupWithinBatch = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"))
+    val dropped = seenBefore.unionByName(dupWithinBatch).distinct()
+    val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+    SnapshotTable.commit(spark, indexTable, bands, append = true)
+    kept
+  }
+
+  /** One-shot greedy baseline over a full corpus: drop every doc that
+    * band-collides with a smaller doc_id. The semantics incremental
+    * processing must reproduce batch-for-batch. */
+  def dedupFull(docs: DataFrame): DataFrame = {
+    val bands = TextOps.bandSignatures(docs)
+    val losers = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+}

@@ -358,26 +358,26 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature + LSH banding near-dup candidates (the 100 TB
-    * dedup path: n_perm=32 hashes, 8 bands × 4 rows; candidate pairs =
-    * equi-join on (band, band_hash) buckets — never O(n²)).
-    * xxhash64(shingle, seed) plays the permutation family. Not DuckDB-
-    * expressible → rows-only check + scalatest property vs exact Jaccard.
-    */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** LSH band keys per document: `(doc_id, band, bh)` — n_perm=32
+    * xxhash64 permutations over 3-shingles, 8 bands × 4 rows. The one
+    * hash family every dedup consumer shares ([[minhashPairs]],
+    * [[IncrementalDedup]]) — factored out so batch and incremental
+    * dedup can NEVER disagree on what "collides" means.
+    *
+    * Shape: explode (doc, shingle), then take the 32 per-permutation
+    * mins in ONE hash aggregate — partial (map-side) min combine means
+    * the shuffle carries 32 longs per doc, not the shingle sets — the
+    * shape that survives 100 TB. (A single nested-lambda expression
+    * computing the whole signature per row codegens into a huge method
+    * and ran ~30× slower at sf0.01.) One 64-bit base hash per shingle
+    * string; each permutation re-hashes the LONG (single xxhash64
+    * round, no string traversal, and no wrapping multiply — ANSI mode
+    * rejects overflowing Long arithmetic). */
+  def bandSignatures(docs: DataFrame): DataFrame = {
     val nPerm = 32
     val bands = 8
     val rowsPerBand = nPerm / bands
-    // explode (doc, shingle) then take 32 per-permutation mins in ONE
-    // hash aggregate: partial (map-side) min combine means the shuffle
-    // carries 32 longs per doc, not the shingle sets — the shape that
-    // survives 100 TB. (A single nested-lambda expression computing the
-    // whole signature per row codegens into a huge method and ran ~30×
-    // slower at sf0.01.)
-    // one 64-bit base hash per shingle string; each permutation re-hashes
-    // the LONG (single xxhash64 round, no string traversal, and no
-    // wrapping multiply — ANSI mode rejects overflowing Long arithmetic)
-    val exploded = Tables.documents(s, d)
+    val exploded = docs
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     def perm(i: Int): Column = xxhash64(col("h"), lit(i))
@@ -385,13 +385,23 @@ object TextOps {
       .agg(min(perm(0)).as("h0"),
         (1 until nPerm).map(i => min(perm(i)).as(s"h$i")): _*)
     // band key = hash of the band's rowsPerBand signature values
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
             .as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** MinHash signature + LSH banding near-dup candidates (the 100 TB
+    * dedup path: candidate pairs = equi-join on (band, band_hash)
+    * buckets over [[bandSignatures]] — never O(n²)).
+    * xxhash64(shingle, seed) plays the permutation family. Not DuckDB-
+    * expressible → rows-only check + scalatest property vs exact Jaccard.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val banded = bandSignatures(Tables.documents(s, d))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalDedup
+import graft.sources.SnapshotTable
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_dedup_idx").resolve("idx").toString
+
+  test("batched incremental dedup equals the one-shot greedy, and the index only appends") {
+    // real corpus plus PLANTED duplicates so both collision paths fire
+    // at every scale factor: 1001/1002 duplicate in-batch, 2001/2002
+    // duplicate across batches (copies of batch-1 texts)
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val t0 = base.orderBy("doc_id").limit(2)
+      .as[(Long, String)].collect()
+    val novel = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk"
+    val planted = Seq(
+      (1001L, novel), (1002L, novel),       // novel text, same batch
+      (2001L, t0(1)._2), (2002L, novel)     // copies of earlier batches
+    ).toDF("doc_id", "text")
+    val corpus = base.unionByName(planted).localCheckpoint()
+
+    // batches split on doc_id: arrival order is id order
+    val cuts = Seq(0L -> 300L, 300L -> 1500L, 1500L -> 3000L)
+    val idx = tmp()
+    val keptIncr = cuts.flatMap { case (lo, hi) =>
+      val batch = corpus.filter($"doc_id" >= lo && $"doc_id" < hi)
+      IncrementalDedup.processBatch(spark, idx, batch)
+        .select("doc_id").as[Long].collect()
+    }.toSet
+
+    val keptFull = IncrementalDedup.dedupFull(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIncr == keptFull,
+      s"incr-only: ${keptIncr -- keptFull}; full-only: ${keptFull -- keptIncr}")
+
+    // the planted dups were actually caught (non-vacuity): first wins
+    assert(keptIncr.contains(1001L) && !keptIncr.contains(1002L))
+    assert(!keptIncr.contains(2002L), "cross-batch duplicate must drop")
+    // 2001 duplicates a batch-1 doc's text → index hit drops it too
+    assert(!keptIncr.contains(2001L))
+
+    // index: one commit per batch, strictly append-only (no rewrites)
+    assert(SnapshotTable.versions(idx) == Seq(1L, 2L, 3L))
+    for (v <- 1L to 2L)
+      assert(SnapshotTable.removedFiles(idx, v, v + 1).isEmpty,
+        s"index rewrite between $v and ${v + 1}")
+    // the index holds bands for EVERY seen doc (kept and dropped) — the
+    // contract that makes incremental == one-shot
+    val indexed = SnapshotTable.read(spark, idx)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val withShingles = corpus
+      .filter(size(split($"text", " ")) >= 3).select("doc_id")
+      .as[Long].collect().toSet
+    assert(indexed == withShingles)
+  }
+}
