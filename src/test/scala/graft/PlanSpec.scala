@@ -186,7 +186,12 @@ class PlanSpec extends SparkSpec {
       "llm_dedup_minhash", "llm_simhash", "llm_simhash_neardup",
       "llm_simhash_band",
       "llm_sim_prenorm", "source_binaryfile",
-      "llm_embed_lsh", "llm_dedup_groups", "llm_ann_trained"),
+      "llm_embed_lsh", "llm_dedup_groups", "llm_ann_trained",
+      // BPE encode applies a TRAINED merge list sequentially per word —
+      // the greedy left-to-right fold over learned ranks has no DuckDB
+      // SQL equivalent; TextOpsSpec checks it against a driver
+      // re-implementation instead
+      "llm_bpe_encode"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
