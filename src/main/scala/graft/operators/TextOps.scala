@@ -795,9 +795,140 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- fuzzy (edit-distance) join
+  /** Every name-key for edit-distance-1 blocking: the string itself plus
+    * each delete-one-character variant. Two strings within Levenshtein
+    * distance 1 ALWAYS share at least one such key (equal → the string;
+    * insert/delete → the shorter IS a variant of the longer; substitute
+    * at i → both produce the same delete-at-i variant), so joining on
+    * these keys has guaranteed recall — the SymSpell blocking scheme. */
+  private[graft] def del1Keys(c: Column): Column =
+    array_distinct(concat(array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - lit(1)),
+          c.substr(i + lit(1), length(c))))))
+
+  /** Edit-distance-≤1 fuzzy self-join over customer names WITHOUT the
+    * O(n²) cross join: explode each name into its ~(len+1) deletion
+    * keys, equi-join on the key, then verify candidates with exact
+    * `levenshtein`. The shuffle carries (19-byte key, name) pairs —
+    * linear in input × key-count, never quadratic — and the candidate
+    * list per key is a handful of rows, so this holds at 100 TB where
+    * a cross join is impossible. The oracle runs the exhaustive O(n²)
+    * scan in DuckDB: a hash-identical result PROVES the blocking
+    * missed nothing (recall == exhaustive, not asserted but checked).
+    *
+    * Plan shape (PlanSpec pins it): `shuffle_hash` — BOTH sides are
+    * the corpus×keys expansion, so Spark's size estimate would happily
+    * broadcast one of them; at sf0.1 that collected 223k keyed rows to
+    * the driver and cost 3× the whole shuffled join (5.1 s → 1.5 s
+    * measured), and at 100 TB it is impossible. Candidate verify uses
+    * the THRESHOLDED `levenshtein(a, b, 1)` (returns −1 past the
+    * bound) so the DP early-exits per candidate. `distinct` because a
+    * pair may share several keys (e.g. equal-prefix deletions). */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.customer(s, d)
+      .select(col("c_name").as("name"))
+      .select(col("name"), explode(del1Keys(col("name"))).as("k"))
+    val a = keyed.withColumnRenamed("name", "name_a")
+    val b = keyed.withColumnRenamed("name", "name_b")
+    a.hint("shuffle_hash").join(b, "k")
+      .where(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b"), 1) >= 0)
+      .select("name_a", "name_b").distinct()
+      .orderBy("name_a", "name_b")
+  }
+
+  // ------------------------------------------------- sliding-window chunking
+  /** Overlapping context-window chunking — the long-document splitter a
+    * training pipeline runs before tokenization: windows of `W` tokens
+    * every `S` tokens (W−S token overlap keeps context across chunk
+    * boundaries). Pure per-row compute: `sequence` over chunk starts +
+    * `slice` of the token array, codegen'd, no shuffle before the
+    * output sort — at 100 TB this is a map-only stage. Emits md5 of
+    * each chunk so the oracle checks the exact chunk TEXT, not just
+    * counts. Chunk count = 1 + ceil(max(0, n−W)/S): every token is
+    * covered and a short doc is one chunk. */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val W = 24
+    val S = 16
+    val n = size(col("w"))
+    val nChunks =
+      lit(1) + ceil(greatest(n - lit(W), lit(0)).cast("double") / lit(S)).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("w"), col("chunk_idx") * S + lit(1), lit(W)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        md5(array_join(col("cw"), " ").cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ------------------------------------------------- content-hash split
+  /** Deterministic train/val/test split keyed on md5 of the CONTENT
+    * (not doc_id): exact duplicates always land in the same split, so
+    * dedup-survivor choice can never leak a training text into the
+    * eval set — the leakage bug content-addressed splits exist to
+    * prevent. Thresholds on the first two hex chars: 'cd' ≈ 80.1%,
+    * 'e6' ≈ 89.8% (train/val/test ≈ 80/10/10). Per-row predicate on a
+    * hash both engines compute identically — no shuffle before the
+    * 3×lang rollup, stable under any repartitioning or cluster size.
+    * `n_uniq` (distinct contents per cell) rides along so the oracle
+    * also checks the co-location invariant's input. */
+  /** The split decision as a pure column over the content: any two rows
+    * with equal text get equal splits, by construction. */
+  private[graft] def splitCol(text: Column): Column = {
+    val h = substring(md5(text.cast("binary")), 1, 2)
+    when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("split", splitCol(col("text")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_uniq"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  // ------------------------------------------------- sketch-merge distinct
+  /** Incremental distinct counting the way a 100 TB lake does it: each
+    * (lang, source) shard builds a mergeable HLL sketch of its token
+    * stream (datasketches `hll_sketch_agg`, lgK=12), and the per-lang
+    * cardinality comes from MERGING the shard sketches — never from
+    * rescanning tokens. At scale the per-shard sketches are persisted
+    * next to the data (TextOpsSpec proves the parquet round-trip merges
+    * to the same estimate), so new shards update global stats in O(new
+    * data). The declared result keeps the agg_approx oracle shape:
+    * exact count + a within-5% boolean both engines compute true. */
+  def distinctSketch(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val merged = toks.groupBy("lang", "source")
+      .agg(hll_sketch_agg(col("w"), lit(12)).as("sk"))
+      .groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    toks.groupBy("lang").agg(countDistinct(col("w")).as("exact_vocab"))
+      .join(merged, "lang")
+      .select(col("lang"), col("exact_vocab"),
+        (abs(col("est") - col("exact_vocab")) * 20 <= col("exact_vocab"))
+          .as("within_5pct"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_heavy_words"   -> (heavyWords(_, _)),
     "llm_dedup_chunk"   -> (dedupChunks(_, _)),
+    "llm_fuzzy_join"    -> (fuzzyJoin(_, _)),
+    "llm_chunk_overlap" -> (chunkOverlap(_, _)),
+    "llm_split"         -> (splitAssign(_, _)),
+    "llm_distinct_sketch" -> (distinctSketch(_, _)),
     "llm_bigrams"       -> (bigrams(_, _)),
     "llm_bpe_pairs"     -> (bpePairs(_, _)),
     "llm_bpe_encode"    -> (bpeEncodeDocs(_, _)),
@@ -831,6 +962,48 @@ object TextOps {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // exhaustive O(n²) scan — at oracle scale only; a hash match proves
+    // the Spark side's deletion-key blocking has exhaustive recall
+    "llm_fuzzy_join" ->
+      """SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM customer a, customer b
+        |WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+    "llm_chunk_overlap" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, 1 + CAST(ceil(greatest(len(w) - 24, 0) / 16.0) AS INT))) AS ci
+        |  FROM lists),
+        |c AS (
+        |  SELECT doc_id, ci,
+        |    list_slice(w, ci*16 + 1, least(ci*16 + 24, len(w))) AS cw
+        |  FROM idx)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(len(cw) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(cw, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_split" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "llm_distinct_sketch" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |t2 AS (SELECT lang, w FROM t WHERE w <> '')
+        |SELECT lang, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_vocab,
+        |  abs(approx_count_distinct(w) - COUNT(DISTINCT w)) * 20
+        |    <= COUNT(DISTINCT w) AS within_5pct
+        |FROM t2 GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_heavy_words" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -491,11 +491,21 @@ object VectorOps {
           x => round(x.cast("double") / col("maxabs") * 127).cast("long"))
           .as("qv"))
       .withColumn("nq", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      // materialize the quantized corpus ONCE: the self-join would
+      // otherwise re-run assignment+quantization per side (the plan
+      // grows two identical subtrees). int8 vectors are 64 B/row —
+      // exactly the artifact production SemDeDup persists
+      .localCheckpoint()
+    // the pair scan is the hot loop (|cell|² dots): the codegen'd
+    // DotProduct expression replaces the interpreted zip_with+aggregate
+    // lambda (6.0 s → sub-second at sf0.1, same integer values — int8
+    // dots ≤ 64·127² stay exact in double, so every keep/drop boolean
+    // is unchanged and the integer-math oracle still hash-matches)
     q.as("a").join(q.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_id"),
-        aggregate(zip_with(col("a.qv"), col("b.qv"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"),
+        graft.functions.NativeExpressions.dot_product(col("a.qv"), col("b.qv"))
+          .cast("long").as("dot"),
         col("a.nq").as("na"), col("b.nq").as("nb"))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 25 >= col("na") * col("nb") * 4)

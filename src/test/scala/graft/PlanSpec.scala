@@ -161,6 +161,21 @@ class PlanSpec extends SparkSpec {
     assert("LeftAnti".r.findAllIn(plan).length >= 2, plan.take(3000))
   }
 
+  test("llm_fuzzy_join: deletion-key blocking plans as an equi-join, never O(n²)") {
+    val df = TextOps.queries("llm_fuzzy_join")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the whole point of SymSpell blocking is an equi-join on deletion
+    // keys; a cartesian/nested-loop here means the blocking key was lost
+    // and the plan re-became the all-pairs scan that dies at 100 TB.
+    // It must also NOT broadcast: both sides are the corpus×keys
+    // expansion (measured 3× slower at sf0.1, impossible at 100 TB)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -213,4 +213,115 @@ class TextOpsSpec extends SparkSpec {
     assert(kept.get("hot").contains(100L), s"hot must survive at 2%: $kept")
     assert(!kept.contains("warm"), s"warm (1.98%) must be cut: $kept")
   }
+
+  // ------------------------------------------------- round-6 operators
+
+  test("fuzzy join: deletion-key blocking recall == exhaustive cross join") {
+    val cust = graft.Tables.customer(spark, sf).select(col("c_name"))
+    // ground truth the expensive way (fine at sf0.001's 150 names)
+    val exhaustive = cust.withColumnRenamed("c_name", "name_a")
+      .crossJoin(cust.withColumnRenamed("c_name", "name_b"))
+      .where(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 1)
+      .as[(String, String)].collect().toSet
+    val got = TextOps.fuzzyJoin(spark, sf).as[(String, String)].collect()
+    assert(got.length == got.toSet.size, "duplicate pairs in output")
+    assert(got.toSet == exhaustive)
+    // the fixture must actually exercise the match path
+    assert(exhaustive.size > 100, s"only ${exhaustive.size} near pairs")
+  }
+
+  test("del1Keys: the string itself plus each delete-one variant") {
+    val keys = Seq("abc").toDF("s")
+      .select(TextOps.del1Keys(col("s")).as("k")).as[Seq[String]].head
+    assert(keys.toSet == Set("abc", "bc", "ac", "ab"))
+  }
+
+  test("chunk overlap: stride starts, exact chunk sizes, full coverage") {
+    val W = 24; val S = 16
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val out = TextOps.chunkOverlap(spark, sf)
+    val byDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("chunks"), max("chunk_idx").as("last"))
+      .join(docs, "doc_id")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, chunks, last, n) =>
+      val expected = 1 + math.ceil(math.max(0, n - W) / S.toDouble).toInt
+      assert(chunks == expected && last == expected - 1, s"doc $id")
+      // last chunk reaches the final token: start + W >= n
+      assert(last * S + W >= n, s"doc $id tail uncovered")
+    }
+    // every chunk's token count is exactly min(W, n - start)
+    val sizes = out.join(docs, "doc_id")
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("n"))
+      .as[(Long, Int, Long, Int)].collect()
+    sizes.foreach { case (id, ci, nt, n) =>
+      assert(nt == math.min(W, n - ci * S), s"doc $id chunk $ci")
+    }
+    // a single-chunk doc's hash is the md5 of its whole text — pins that
+    // chunk_hash really hashes the chunk TEXT, not some join artifact
+    val single = out.join(docs.filter(col("n") <= W), "doc_id")
+      .join(graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h")), "doc_id")
+      .where(col("chunk_hash") =!= col("h")).count()
+    assert(single == 0L)
+  }
+
+  test("split: rollup is complete over the fixture") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = TextOps.splitAssign(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.map(_._3).sum == docs.count())
+    assert(out.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("split: duplicate contents co-locate; fractions track 80/10/10") {
+    // the fixture has no exact-duplicate texts (only chunk-level dups),
+    // so co-location needs constructed copies: 3 of each content, ids
+    // distinct — content-keyed assignment must put all 3 together, and
+    // would NOT if the key ever reverted to doc_id
+    val base = (1 to 4000).map(i => s"document body number $i with words")
+    val dup = base.flatMap(t => Seq(t, t, t)).zipWithIndex
+      .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      .repartition(8)
+    val assigned = dup.withColumn("split", TextOps.splitCol(col("text")))
+    assert(assigned.groupBy("text")
+      .agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count() == 0L)
+    // md5 thresholds 'cd'/'e6' ⇒ expected 205/25/26 of 256; allow ±3%
+    val frac = assigned.filter(col("doc_id") % 3 === 0) // one copy each
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = 4000.0
+    assert(math.abs(frac("train") / n - 205.0 / 256) < 0.03, frac.toString)
+    assert(math.abs(frac("val") / n - 25.0 / 256) < 0.03, frac.toString)
+    assert(math.abs(frac("test") / n - 26.0 / 256) < 0.03, frac.toString)
+  }
+
+  test("distinct sketch: persisted shard sketches merge to the same estimate") {
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val perShard = toks.groupBy("lang", "source")
+      .agg(hll_sketch_agg(col("w"), lit(12)).as("sk"))
+    def estimate(sk: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      sk.groupBy("lang")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .as[(String, Long)].collect().toMap
+    val direct = estimate(perShard)
+    // the 100 TB contract: sketches survive a parquet round-trip (binary
+    // column) and merge WITHOUT rescanning the token stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    perShard.write.mode("overwrite").parquet(dir)
+    val roundTrip = estimate(spark.read.parquet(dir))
+    assert(roundTrip == direct, "round-tripped sketches diverged")
+    val exact = toks.groupBy("lang").agg(countDistinct("w").as("x"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, x) =>
+      assert(math.abs(direct(lang) - x) * 20 <= x,
+        s"$lang: est=${direct(lang)} exact=$x beyond 5%")
+    }
+  }
 }
