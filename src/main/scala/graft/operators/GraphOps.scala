@@ -104,6 +104,77 @@ object GraphOps {
     (labels, iter)
   }
 
+  /** PageRank in 10^-12 FIXED POINT (long arithmetic end to end) so the
+    * result is bit-identical across engines and partitionings: float PR
+    * sums drift with reduction order, but `div`-truncated longs cannot.
+    * Per iteration the shuffle carries (node, contrib) longs only —
+    * the same bounded shape as [[connectedComponents]] — and dangling
+    * mass is collected by one anti-join aggregate and redistributed via
+    * a broadcast scalar, so no step is ever O(n²) or driver-bound.
+    * Damping 0.85 as the exact rational 85/100; every division is
+    * integer `div`, which floors identically in Spark and DuckDB for
+    * the non-negative values PR produces — that is what lets the oracle
+    * replay the iterations as unrolled CTEs and hash-match exactly.
+    *
+    * @param nodes single column `node` (long ids)
+    * @param edges columns `src`, `dst`; treated as undirected
+    * @return (`node`, `pr`) with pr scaled by 10^12 (the fixed point)
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+    val SCALE = 1000000000000L // 10^12: 150 nodes × 10^12 ≪ 2^63, no overflow
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // joins into every round; see connectedComponents
+    val outdeg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    // n_nodes rides along as a broadcast-joined column — never a
+    // driver-side collect, so the plan stays fully declarative
+    val ncnt = nodes.agg(count(lit(1)).as("n_nodes"))
+    var pr = nodes.crossJoin(broadcast(ncnt))
+      .select(col("node"), expr(s"$SCALE div n_nodes").as("pr"), col("n_nodes"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      val dang = pr.join(outdeg, pr("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dangling"))
+      val next = pr.select("node", "n_nodes")
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          expr(s"(15 * $SCALE) div (100 * n_nodes) + " +
+            "(85 * (coalesce(contrib, 0L) + dangling div n_nodes)) div 100")
+            .as("pr"),
+          col("n_nodes"))
+        .localCheckpoint()
+      pr.unpersist(blocking = false)
+      pr = next
+    }
+    sym.unpersist(blocking = false)
+    pr.select("node", "pr")
+  }
+
+  /** PageRank over the same exact-Jaccard doc graph as [[dedupClusters]]
+    * (3 iterations): cluster CENTRALITY, the signal that picks the
+    * canonical keeper inside a near-dup cluster by connectivity instead
+    * of min-id. Fixed-point output (`pr_e12` = pr × 10^12 as BIGINT)
+    * hash-matches the oracle's unrolled-CTE replay digit for digit. */
+  def pageRankDocs(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id").as("node"))
+    val edges = TextOps.jaccardPairs(s, d, 150)
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    pageRank(nodes, edges, iters = 3)
+      .select(col("node").as("doc_id"), col("pr").as("pr_e12"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup clusters over the exact 3-shingle Jaccard graph
     * (threshold 0.02, doc_id < 150 — the same bounded subset as
     * [[TextOps.ngramJaccard]], where exact scoring is affordable; at
@@ -144,7 +215,8 @@ object GraphOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_cc"     -> (dedupClusters(_, _)),
-    "llm_dedup_groups" -> (dedupGroups(_, _))
+    "llm_dedup_groups" -> (dedupGroups(_, _)),
+    "graph_pagerank"   -> (pageRankDocs(_, _))
   )
 
   def oracles: Map[String, String] = Map(
@@ -175,6 +247,55 @@ object GraphOps {
         |lab AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
         |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY comp)
         |SELECT lab.doc_id, lab.comp, cs.cluster_size
-        |FROM lab JOIN cs ON lab.comp = cs.comp ORDER BY lab.doc_id""".stripMargin
+        |FROM lab JOIN cs ON lab.comp = cs.comp ORDER BY lab.doc_id""".stripMargin,
+    // same shingle graph as llm_dedup_cc; the 3 PageRank iterations are
+    // replayed as unrolled CTEs in the SAME 10^-12 long fixed point —
+    // integer floor-division agrees between engines on non-negative
+    // values, so the hashes match exactly, no tolerance anywhere
+    "graph_pagerank" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.02),
+        |sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+        |nodes AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 150),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM sym GROUP BY src),
+        |pr0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS pr FROM nodes, nn),
+        |c1 AS (SELECT s.dst AS node, CAST(SUM(p.pr // o.outdeg) AS BIGINT) AS contrib
+        |  FROM sym s JOIN pr0 p ON p.node = s.src JOIN outdeg o ON o.src = s.src GROUP BY s.dst),
+        |d1 AS (SELECT CAST(COALESCE(SUM(p.pr), 0) AS BIGINT) AS dang FROM pr0 p
+        |  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.node)),
+        |pr1 AS (SELECT n.node, CAST((15 * 1000000000000) // (100 * nn.n)
+        |    + (85 * (COALESCE(c.contrib, 0) + d1.dang // nn.n)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN c1 c ON c.node = n.node, nn, d1),
+        |c2 AS (SELECT s.dst AS node, CAST(SUM(p.pr // o.outdeg) AS BIGINT) AS contrib
+        |  FROM sym s JOIN pr1 p ON p.node = s.src JOIN outdeg o ON o.src = s.src GROUP BY s.dst),
+        |d2 AS (SELECT CAST(COALESCE(SUM(p.pr), 0) AS BIGINT) AS dang FROM pr1 p
+        |  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.node)),
+        |pr2 AS (SELECT n.node, CAST((15 * 1000000000000) // (100 * nn.n)
+        |    + (85 * (COALESCE(c.contrib, 0) + d2.dang // nn.n)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN c2 c ON c.node = n.node, nn, d2),
+        |c3 AS (SELECT s.dst AS node, CAST(SUM(p.pr // o.outdeg) AS BIGINT) AS contrib
+        |  FROM sym s JOIN pr2 p ON p.node = s.src JOIN outdeg o ON o.src = s.src GROUP BY s.dst),
+        |d3 AS (SELECT CAST(COALESCE(SUM(p.pr), 0) AS BIGINT) AS dang FROM pr2 p
+        |  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = p.node)),
+        |pr3 AS (SELECT n.node, CAST((15 * 1000000000000) // (100 * nn.n)
+        |    + (85 * (COALESCE(c.contrib, 0) + d3.dang // nn.n)) // 100 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN c3 c ON c.node = n.node, nn, d3)
+        |SELECT node AS doc_id, pr AS pr_e12 FROM pr3 ORDER BY doc_id""".stripMargin
   )
 }

@@ -248,6 +248,38 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Grouped quantiles via the KLL sketch ([[graft.functions.KllQuantileAgg]])
+    * with the estimates' EXACT ranks re-checked in a second scan — the
+    * `agg_approx` oracle shape (each engine asserts its own sketch's rank
+    * error; the booleans and exact counts hash-compare). `agg_percentile`
+    * sorts the full per-group value stream; at 100 TB the KLL partials
+    * carry O(k·log n) bytes per partition instead, and the rank guarantee
+    * (k=200 ⇒ ±1.65% at 99% confidence; checked here at ±2.5%) survives
+    * any merge order. The 5-row sketch output broadcasts back onto the
+    * fact scan for the exact-rank count, so the check itself is one more
+    * map-side pass, never a sort. */
+  def aggQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("price"))
+    val sk = li.groupBy("l_returnflag")
+      .agg(graft.functions.KllQuantileAgg
+        .kll_quantiles(col("price"), 200, Seq(0.5, 0.9, 0.99)).as("s"))
+      .select(col("l_returnflag"),
+        col("s.quantiles")(0).as("q50"),
+        col("s.quantiles")(1).as("q90"),
+        col("s.quantiles")(2).as("q99"))
+    def rankOk(q: String, r: Double, out: String): Column =
+      (abs(sum(when(col("price") <= col(q), 1L).otherwise(0L)) /
+        count(lit(1)) - r) <= 0.025).as(out)
+    li.join(broadcast(sk), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        rankOk("q50", 0.5, "p50_ok"),
+        rankOk("q90", 0.9, "p90_ok"),
+        rankOk("q99", 0.99, "p99_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Statistical aggregates (corr / covar_samp / stddev_samp) assembled
     * from EXACT decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²) with the
     * closed form evaluated in double only at the end. Spark's built-in
@@ -631,6 +663,7 @@ object Relational {
     "agg_rollup"     -> (aggRollup(_, _)),
     "agg_cube"       -> (aggCube(_, _)),
     "agg_approx"     -> (aggApprox(_, _)),
+    "agg_quantile_sketch" -> (aggQuantileSketch(_, _)),
     "agg_stats"      -> (aggStats(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
@@ -725,6 +758,26 @@ object Relational {
         |  ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr,
         |  ROUND(sqrt((n*sxx - sx*sx) / (n*(n-1))), 6) AS stddev_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // same contract as agg_approx: DuckDB runs ITS quantile sketch
+    // (t-digest approx_quantile) and asserts the identical exact-rank
+    // bound; the deterministic surface (group keys, exact n, booleans)
+    // is what hashes
+    "agg_quantile_sketch" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5) AS q50,
+        |    approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.9) AS q90,
+        |    approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.99) AS q99
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  abs(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <= s.q50 THEN 1 ELSE 0 END)
+        |      / CAST(COUNT(*) AS DOUBLE) - 0.5) <= 0.025 AS p50_ok,
+        |  abs(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <= s.q90 THEN 1 ELSE 0 END)
+        |      / CAST(COUNT(*) AS DOUBLE) - 0.9) <= 0.025 AS p90_ok,
+        |  abs(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <= s.q99 THEN 1 ELSE 0 END)
+        |      / CAST(COUNT(*) AS DOUBLE) - 0.99) <= 0.025 AS p99_ok
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "agg_approx" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

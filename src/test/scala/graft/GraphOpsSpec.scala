@@ -84,4 +84,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(covered == Tables.documents(spark, sf).count())
     assert(hist.keySet.min >= 1L)
   }
+
+  /** Local replay of pageRank's exact fixed-point recurrence — the
+    * distributed result must match it to the last digit on any
+    * partitioning (that bit-exactness is what graph_pagerank's
+    * unrolled-CTE oracle depends on). */
+  private def localPageRank(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val SCALE = 1000000000000L
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val outdeg = sym.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    var pr = nodes.map(_ -> SCALE / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / outdeg(src) }.sum
+      }
+      val dang = nodes.filterNot(outdeg.contains).map(pr).sum
+      pr = nodes.map { v =>
+        v -> ((15 * SCALE) / (100 * n) +
+          (85 * (contrib.getOrElse(v, 0L) + dang / n)) / 100)
+      }.toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the local fixed-point replay exactly") {
+    // star (hub 0), a 2-cycle, and TWO isolated nodes (dangling mass)
+    val nodes = (0L to 7L).toDF("node").repartition(4)
+    val edgeSeq = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 5L))
+    val edges = edgeSeq.toDF("src", "dst").repartition(3)
+    val expected = localPageRank(0L to 7L, edgeSeq, iters = 3)
+    val got = GraphOps.pageRank(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // centrality ordering: the hub out-ranks its leaves, leaves out-rank
+    // the isolated nodes (they receive only teleport + dangling share)
+    assert(got(0L) > got(1L) && got(1L) > got(6L))
+    assert(got(1L) == got(2L) && got(2L) == got(3L)) // symmetric leaves
+    // fixed-point mass is conserved up to floor losses: strictly ≤ SCALE,
+    // and within a few units per node per round of it
+    val mass = got.values.sum
+    assert(mass <= 1000000000000L)
+    assert(1000000000000L - mass <= 8L * 4 * 3)
+  }
 }
