@@ -248,6 +248,53 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Gap-filled resample: [[tsResample]]'s dense grid with
+    * last-observation-carried-forward imputation — the canonical
+    * prepare-for-modeling step a sparse metric series needs. LOCF is
+    * `last(_, ignoreNulls)` over an UNBOUNDED-PRECEDING row frame, ONE
+    * window pass per user partition on top of the grid join; the frame
+    * never materializes the history (running state is a single value),
+    * so the shape is linear at any series length. */
+  def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+    val bounds = ev.agg(
+      timestamp_seconds(expr("unix_timestamp(min(ts)) div 14400") * 14400).as("lo"),
+      timestamp_seconds(expr("unix_timestamp(max(ts)) div 14400") * 14400).as("hi"))
+    val grid = bounds.select(explode(sequence(
+        col("lo"), col("hi"), expr("INTERVAL 4 HOURS"))).as("bucket"))
+      .crossJoin(ev.select(col("user_id")).distinct())
+    val actual = ev
+      .groupBy(col("user_id"),
+        window(col("ts"), "4 hours").getField("start").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val locf = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(actual, Seq("user_id", "bucket"), "left_outer")
+      .select(col("user_id"), col("bucket"),
+        col("n").isNotNull.as("observed"),
+        coalesce(last(col("sum_value"), ignoreNulls = true).over(locf), lit(0.0))
+          .as("filled_value"))
+      .orderBy("user_id", "bucket")
+  }
+
+  /** Equi-width histogram (10 cent-exact price buckets × return flag).
+    * The bucket id is INTEGER arithmetic on cents — `round(price·100)`
+    * is exact for 2-decimal data, so engines cannot disagree on a bucket
+    * edge the way float division lets them. One hash aggregate over
+    * (flag, bucket): the 100 TB histogram is a 30-row shuffle. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bucket = least(lit(9L),
+      expr("cast(round(l_extendedprice * 100) as bigint) div 1100000")).as("bucket")
+    li.select(col("l_returnflag"), bucket, col("l_extendedprice"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo_price"),
+        max("l_extendedprice").as("hi_price"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
   /** Grouped quantiles via the KLL sketch ([[graft.functions.KllQuantileAgg]])
     * with the estimates' EXACT ranks re-checked in a second scan — the
     * `agg_approx` oracle shape (each engine asserts its own sketch's rank
@@ -647,6 +694,8 @@ object Relational {
     "limit_offset"   -> (limitOffset(_, _)),
     "set_ops_all"    -> (setOpsAll(_, _)),
     "ts_resample"    -> (tsResample(_, _)),
+    "ts_gapfill"     -> (tsGapfill(_, _)),
+    "agg_histogram"  -> (aggHistogram(_, _)),
     "proj_basic"     -> (projBasic(_, _)),
     "filter_pred"    -> (filterPred(_, _)),
     "join_inner"     -> (joinInner(_, _)),
@@ -845,6 +894,40 @@ object Relational {
         |FROM grid LEFT JOIN actual
         |  ON grid.user_id = actual.user_id AND grid.bucket = actual.bucket
         |ORDER BY grid.user_id, grid.bucket""".stripMargin,
+    "ts_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE user_id < 10),
+        |b AS (
+        |  SELECT CAST(to_timestamp((CAST(epoch(min(ts)) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS lo,
+        |         CAST(to_timestamp((CAST(epoch(max(ts)) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS hi
+        |  FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, g.bucket
+        |  FROM (SELECT DISTINCT user_id FROM ev) u,
+        |       (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+        |                                      INTERVAL 4 HOUR)) AS bucket) g),
+        |actual AS (
+        |  SELECT user_id,
+        |    CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY 1, 2),
+        |j AS (
+        |  SELECT grid.user_id, grid.bucket, actual.n, actual.sum_value
+        |  FROM grid LEFT JOIN actual
+        |    ON grid.user_id = actual.user_id AND grid.bucket = actual.bucket)
+        |SELECT user_id, bucket, n IS NOT NULL AS observed,
+        |  COALESCE(last_value(sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
+    "agg_histogram" ->
+      """SELECT l_returnflag,
+        |  LEAST(9, CAST(round(l_extendedprice * 100) AS BIGINT) // 1100000) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(l_extendedprice) AS lo_price, MAX(l_extendedprice) AS hi_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "topk_per_group" ->
       """SELECT o_orderstatus AS st, CAST(rn AS INT) AS rank, o_orderkey,
         |       o_totalprice AS price

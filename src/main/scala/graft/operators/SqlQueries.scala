@@ -439,6 +439,22 @@ object SqlQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    // LATERAL correlated subquery with ORDER BY + LIMIT — top-N per
+    // outer row as the user writes it. Spark DECORRELATES rather than
+    // loops: the inner query becomes one row_number window partitioned
+    // by the correlation key joined back to customer, so the plan is a
+    // single shuffle of orders however many outer rows there are —
+    // nothing executes per-row at any scale
+    "join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |WHERE c.c_custkey < 200
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
     // Null-aware NOT IN: three-valued logic makes `x NOT IN (set with
     // NULL)` reject EVERY row (x <> NULL is UNKNOWN), while the same set
     // minus its NULLs anti-joins normally — both counted side by side.

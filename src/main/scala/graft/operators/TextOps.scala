@@ -46,6 +46,33 @@ object TextOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Stratified rebalancing: downsample every language stratum to ≈ the
+    * size of the SMALLEST one — the classic low-resource-language
+    * rebalance before tokenizer/model training. Per-stratum keep
+    * thresholds are integer math on a 16-bit md5 prefix
+    * (`(target·65536) div n_lang`), computed from a tiny per-lang count
+    * aggregate and broadcast back; selection stays a PER-ROW predicate
+    * like [[sampleByHash]] — no window, no per-stratum sort, no shuffle
+    * of document payloads at any scale. md5 is engine-identical, so the
+    * oracle reproduces the exact per-stratum sample, not a statistical
+    * lookalike. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val target = counts.agg(min("n_total").as("target"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col("lang"), col("n_total"),
+        expr("(target * 65536) div n_total").as("threshold"))
+    val h16 = conv(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    docs.join(broadcast(rates), "lang")
+      .filter(h16 < col("threshold"))
+      .groupBy("lang", "n_total", "threshold")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
+  }
+
   /** Data-mixture sampling: each source keeps a deterministic
     * hash-threshold fraction of its documents (cyclic 25/50/75/100% by
     * source number — the per-source weights a training-mix config would
@@ -947,6 +974,7 @@ object TextOps {
     "llm_normalize"     -> (normalize(_, _)),
     "llm_pipeline"      -> (curationPipeline(_, _)),
     "llm_sample"        -> (sampleByHash(_, _)),
+    "llm_sample_stratified" -> (sampleStratified(_, _)),
     "llm_mixture"       -> (mixture(_, _)),
     "llm_tfidf"         -> (tfidf(_, _)),
     "llm_pack"          -> (packTokens(_, _)),
@@ -1097,6 +1125,22 @@ object TextOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+    "llm_sample_stratified" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY lang),
+        |t AS (SELECT MIN(n_total) AS target FROM counts),
+        |rates AS (
+        |  SELECT lang, n_total,
+        |    CAST((t.target * 65536) // n_total AS BIGINT) AS threshold
+        |  FROM counts, t),
+        |kept AS (
+        |  SELECT d.lang, r.n_total, r.threshold, d.n_chars
+        |  FROM documents d JOIN rates r ON d.lang = r.lang
+        |  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |        < r.threshold)
+        |SELECT lang, n_total, threshold, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM kept GROUP BY lang, n_total, threshold ORDER BY lang""".stripMargin,
     "llm_mixture" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars

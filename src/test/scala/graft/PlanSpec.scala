@@ -192,6 +192,23 @@ class PlanSpec extends SparkSpec {
       s"merged=${SparkEntry.queries.size} sum=$total — duplicate names")
   }
 
+  test("join_lateral: correlated LIMIT decorrelates into one window, no loop join") {
+    // the LATERAL subquery's ORDER BY + LIMIT 2 must become a
+    // row_number window partitioned on the correlation key joined back
+    // to customer — per-outer-row execution or a cartesian fallback
+    // would be quadratic at scale
+    val df = graft.operators.SqlQueries.queries("join_lateral")(spark, sf)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("Window"), s"expected decorrelated window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"lateral fell back to a loop join:\n${plan.take(2000)}")
+  }
+
   test("rows-only queries are exactly the known oracle-inexpressible set") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     // hash families / sketches / env-local paths / float-merge outputs —
