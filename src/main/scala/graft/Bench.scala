@@ -25,6 +25,7 @@ object Bench {
       // query in production — build them here so the timed numbers are
       // the per-query probe cost, not the one-time index fit
       graft.operators.VectorOps.ensureTrainedLayout(spark, sfDir)
+      graft.operators.VectorOps.ensurePqLayout(spark, sfDir)
       graft.sources.Formats.ensureZLayout(spark, sfDir)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

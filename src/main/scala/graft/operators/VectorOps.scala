@@ -136,7 +136,12 @@ object VectorOps {
     * layout itself is deterministic (decimal-exact centroid updates,
     * rounded distances), so any process may rebuild it and land on
     * identical bytes. */
-  def trainedLayoutDir(d: String): String = {
+  def trainedLayoutDir(d: String): String =
+    corpusLayoutDir(d, "graft-ivf-trained-v2")
+
+  /** Derived-layout cache dir for corpus `d` under `prefix`, keyed by a
+    * content fingerprint (path, length, mtime) of the embeddings files. */
+  private def corpusLayoutDir(d: String, prefix: String): String = {
     val corpus = new java.io.File(d, "embeddings.parquet")
     val sig = Option(corpus.listFiles()).getOrElse(Array(corpus))
       .filter(_.isFile).sortBy(_.getName)
@@ -151,7 +156,21 @@ object VectorOps {
     // cwd is only the fallback when run outside sbt
     val root = sys.props.getOrElse("graft.build.root", System.getProperty("user.dir"))
     new java.io.File(new java.io.File(root, "target"),
-      s"graft-ivf-trained-v2-$key-$fp").toString
+      s"$prefix-$key-$fp").toString
+  }
+
+  /** Atomic-rename publish of a derived layout build (shared by the
+    * trained-IVF and PQ builds): build under a UUID temp sibling, mark
+    * `_BUILT`, rename into place; a lost race discards the duplicate. */
+  private def publishLayout(dir: java.io.File, tmp: java.io.File): Unit = {
+    new java.io.File(tmp, "_BUILT").createNewFile()
+    if (!tmp.renameTo(dir)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
   }
 
   /** Train-ONCE corpus build for [[annIvfTrained]]: fit k-means (3 Lloyd
@@ -174,16 +193,7 @@ object VectorOps {
       cents.write.mode("overwrite")
         .parquet(new java.io.File(tmp, "centroids").toString)
       assigned.unpersist(blocking = false) // drop the training checkpoint
-      new java.io.File(tmp, "_BUILT").createNewFile()
-      // lost the publish race to a concurrent builder → identical layout
-      // already in place; discard ours
-      if (!tmp.renameTo(dir)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(tmp)
-      }
+      publishLayout(dir, tmp)
     }
     dir.toString
   }
@@ -513,6 +523,142 @@ object VectorOps {
       .orderBy("cell", "vec_id")
   }
 
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11): split each
+    * 64-dim vector into `m`=4 16-dim subvectors and Lloyd-fit `k`=16
+    * centroids PER SUBSPACE — 4 code bytes replace 256 float bytes
+    * (64×), which is what makes billion-vector search fit in RAM at
+    * all. Training reuses the [[kmeans]] discipline with `m` as an
+    * extra group key: distances round to 9 decimals before argmin,
+    * centroid updates sum exact DECIMAL — the codebooks are
+    * deterministic, so codes and search results are reproducible across
+    * runs and partitionings (VectorOpsSpec pins this). The corpus never
+    * shuffles during training: assignment is a broadcast argmin, the
+    * update shuffle carries m·k·subdim decimal partials. */
+  def pqCodebooks(s: SparkSession, d: String, m: Int = 4, k: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val subs = pqSubvectors(Tables.embeddings(s, d), m)
+    var cents = subs.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").cast("int").as("cell"),
+        transform(col("sub"), x => x.cast("double")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = pqAssign(subs, cents)
+      cents = assigned
+        .select(col("m"), col("cell"), posexplode(col("sub")))
+        .toDF("m", "cell", "i", "x")
+        .groupBy("m", "cell", "i")
+        .agg(sum(col("x").cast("double").cast("decimal(28,9)")).as("sx"),
+          count(lit(1)).as("n"))
+        .groupBy("m", "cell")
+        .agg(collect_list(struct(col("i"),
+          (col("sx").cast("double") / col("n")).as("mv"))).as("dims"))
+        .select(col("m"), col("cell"),
+          transform(array_sort(col("dims")), v => v.getField("mv")).as("cvec"))
+        .localCheckpoint() // m·k rows; cuts the per-round lineage growth
+    }
+    cents
+  }
+
+  /** (vec_id, m, sub): each vector split into `m` equal slices. */
+  private def pqSubvectors(emb: DataFrame, m: Int): DataFrame = {
+    val subLen = 64 / m
+    emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(embedding, m * $subLen + 1, $subLen)").as("sub"))
+  }
+
+  /** Nearest-codeword assignment per (vector, subspace) — broadcast
+    * argmin over the m·k codebook rows, same shape as [[kmeansAssign]]. */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents.groupBy("m")
+      .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+    subs.join(broadcast(centsArr), "m")
+      .select(col("vec_id"), col("m"), col("sub"),
+        element_at(array_sort(transform(col("cents"), c => struct(
+          round(l2sq(col("sub"), c.getField("cvec")), 9).as("dist"),
+          c.getField("cell").as("cell")))), 1).getField("cell").as("cell"))
+  }
+
+  /** Train-once PQ corpus build: fit the codebooks, encode every vector
+    * to its m=4 code cells, and publish both tables atomically — the
+    * same amortization contract as [[ensureTrainedLayout]] (training
+    * and encoding belong to the corpus build, like ingest; queries are
+    * pure probes). The codes table is the 64×-compressed scan artifact:
+    * at 100 TB of vectors it is the ~1.6 TB that ADC actually reads. */
+  def ensurePqLayout(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(corpusLayoutDir(d, "graft-pq-v1"))
+    if (!new java.io.File(dir, "_BUILT").exists()) {
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".build-" + java.util.UUID.randomUUID())
+      val cents = pqCodebooks(s, d, m = 4)
+      cents.write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "codebooks").toString)
+      pqAssign(pqSubvectors(Tables.embeddings(s, d), 4), cents)
+        .select(col("vec_id"), col("m"), col("cell"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "codes").toString)
+      cents.unpersist(blocking = false) // drop the training checkpoint
+      publishLayout(dir, tmp)
+    }
+    dir.toString
+  }
+
+  /** PQ-ANN with asymmetric distance computation (ADC), a PURE PROBE of
+    * the [[ensurePqLayout]] build (codebooks + encoded corpus — no
+    * training or encoding in the query plan): precompute each query's
+    * m×k partial-distance lookup table against the codebooks (a
+    * 192-row broadcast — the query-time "model state"), and score a
+    * candidate by SUMMING 4 table entries instead of touching floats.
+    * The scan side reads codes only — at 100 TB that is the difference
+    * between scanning 400 GB of codes and 25 TB of vectors. Partials
+    * are 9-decimal-rounded and summed as exact DECIMAL, so ranking is
+    * deterministic; ties break on neighbor id.
+    *
+    * ADC quantization error would cap recall on a structureless corpus,
+    * so the query finishes the way production PQ systems do: the ADC
+    * scan yields a SHORTLIST (top-64 codes per query), and only those
+    * 64 full vectors are fetched and re-ranked by exact distance. The
+    * expensive float read is 64 rows per query regardless of corpus
+    * size; everything corpus-scale touches codes only. Rows-only (float
+    * codebooks are not DuckDB-reproducible); VectorOpsSpec proves
+    * recall against the exhaustive scan and determinism across runs. */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val m = 4
+    val shortlist = 64
+    val emb = Tables.embeddings(s, d)
+    val layout = ensurePqLayout(s, d)
+    val cents = s.read.parquet(s"$layout/codebooks")
+    val codes = s.read.parquet(s"$layout/codes")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val lut = pqSubvectors(emb.filter(col("vec_id") < 3), m)
+      .select(col("vec_id").as("query_id"), col("m"), col("sub"))
+      .join(broadcast(cents), "m")
+      .select(col("query_id"), col("m"), col("cell"),
+        round(l2sq(col("sub"), col("cvec")), 9).cast("decimal(28,9)").as("pdist"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    val candidates = codes.join(broadcast(lut), Seq("m", "cell"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pdist").as("adist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    candidates
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(l2sq(col("q"), col("embedding")), 6).as("dist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id", "dist")
+      .orderBy("query_id", "rank")
+  }
+
   /** Vector stats: exact norms and dimension checks per vector subset. */
   def embedStats(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -534,7 +680,8 @@ object VectorOps {
     "llm_kmeans"        -> (kmeansSummary(_, _)),
     "llm_quantize"      -> (quantizeInt8(_, _)),
     "llm_semdedup"      -> (semDedup(_, _)),
-    "llm_ann_trained"   -> (annIvfTrained(_, _))
+    "llm_ann_trained"   -> (annIvfTrained(_, _)),
+    "llm_ann_pq"        -> (annPq(_, _))
   )
 
   /** DuckDB replay of the [[kmeans]] Lloyd fit, unrolled: `rounds`

@@ -219,6 +219,9 @@ class PlanSpec extends SparkSpec {
       "llm_simhash_band",
       "llm_sim_prenorm", "source_binaryfile",
       "llm_embed_lsh", "llm_dedup_groups", "llm_ann_trained",
+      // PQ codebooks are float Lloyd fits — same family as llm_ann_*;
+      // recall + determinism proven in VectorOpsSpec instead
+      "llm_ann_pq",
       // BPE encode applies a TRAINED merge list sequentially per word —
       // the greedy left-to-right fold over learned ranks has no DuckDB
       // SQL equivalent; TextOpsSpec checks it against a driver

