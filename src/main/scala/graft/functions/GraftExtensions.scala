@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NativeExpressions.HammingDist].getName, "hamming_dist"),
       (exprs: Seq[Expression]) => NativeExpressions.HammingDist(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SimplifyVectorIdentities)
+    // tier (c) complete: the whole-operator CosineTopK plan node gets a
+    // physical strategy in every extended session
+    e.injectPlannerStrategy(_ => graft.plans.CosineTopKStrategy)
   }
 }

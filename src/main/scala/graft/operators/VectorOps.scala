@@ -659,6 +659,33 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** [[simSearch]] through the WHOLE-OPERATOR custom plan
+    * ([[graft.plans.CosineTopK]] → `CosineTopKExec`): per-query bounded
+    * heaps inside the corpus scan, so the shuffle carries at most
+    * #partitions × q × k candidate rows instead of every scored pair —
+    * the partial/final aggregate shape applied to top-k. Strategy is
+    * injected by `GraftExtensions`; sessions built without extensions
+    * get it via `experimental.extraStrategies` here (idempotent). The
+    * 3 query vectors are collected driver-side — broadcast-side model
+    * state, the same class as IVF probe cells. Bit-identical to
+    * [[simSearch]] (VectorOpsSpec pins it), so the SAME oracle family
+    * hash-checks a custom SparkPlan against DuckDB. */
+  def simSearchExec(s: SparkSession, d: String): DataFrame = {
+    if (!s.experimental.extraStrategies.contains(graft.plans.CosineTopKStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.CosineTopKStrategy
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    val corpus = emb.filter(col("vec_id") >= 3)
+      .select(col("vec_id"), col("embedding"))
+    org.apache.spark.sql.GraftColumnBridge.ofRows(s,
+        graft.plans.CosineTopK(queries, 5, corpus.queryExecution.logical))
+      .orderBy("query_id", "rank")
+  }
+
   /** Vector stats: exact norms and dimension checks per vector subset. */
   def embedStats(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -681,7 +708,8 @@ object VectorOps {
     "llm_quantize"      -> (quantizeInt8(_, _)),
     "llm_semdedup"      -> (semDedup(_, _)),
     "llm_ann_trained"   -> (annIvfTrained(_, _)),
-    "llm_ann_pq"        -> (annPq(_, _))
+    "llm_ann_pq"        -> (annPq(_, _)),
+    "llm_sim_topk_exec" -> (simSearchExec(_, _))
   )
 
   /** DuckDB replay of the [[kmeans]] Lloyd fit, unrolled: `rounds`
@@ -743,6 +771,34 @@ object VectorOps {
     // Dot products are recomputed term-by-term in DuckDB with the same
     // left-to-right double accumulation via list_reduce (not
     // list_cosine_similarity, whose accumulation order is unspecified).
+    // identical semantics to llm_sim_search — the custom SparkPlan must
+    // hash-match the same DuckDB replay, which is the strongest possible
+    // check on a hand-written physical operator
+    "llm_sim_topk_exec" ->
+      """WITH dotp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(q.embedding)),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |      (a, x) -> a + x) AS dp,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(q.embedding)),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+        |      (a, x) -> a + x)) AS nq,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(c.embedding)),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        |      (a, x) -> a + x)) AS nc
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 3 AND c.vec_id >= 3),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, round(dp / (nq * nc), 6) AS sim FROM dotp),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "llm_sim_search" ->
       """WITH dotp AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

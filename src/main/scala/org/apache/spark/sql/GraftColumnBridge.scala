@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame over a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`) — how an extension library exposes a whole-operator
+    * plan node (e.g. `graft.plans.CosineTopK`) as a normal DataFrame. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

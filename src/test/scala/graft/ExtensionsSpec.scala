@@ -32,6 +32,33 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("injected planner strategy plans CosineTopK without manual registration") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      // deliberately NOT simSearchExec (which self-registers via
+      // extraStrategies): build the plan node directly — only the
+      // extension-injected strategy can plan it here
+      val corpus = Seq((3L, Seq(1.0f, 0.0f)), (4L, Seq(0.6f, 0.8f)),
+        (5L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+      val df = org.apache.spark.sql.GraftColumnBridge.ofRows(s2,
+        graft.plans.CosineTopK(Seq((0L, Seq(1.0f, 0.0f))), 2,
+          corpus.queryExecution.logical))
+      val out = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(out.toSeq == Seq((0L, 1, 3L), (0L, 2, 4L))) // exact, then 0.6
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("optimizer rule folds hamming_dist(x, x) to a null-safe constant") {
     val shared = spark
     SparkSession.clearActiveSession()

@@ -73,6 +73,28 @@ class KllAggSpec extends SparkSpec {
     assert(qs.forall(_ == 0.0))
   }
 
+  test("streaming micro-batches accumulate to the same rank guarantee") {
+    // the sketch buffer IS the streaming state: each micro-batch updates
+    // the serialized KLL partial in the state store, so corpus quantile
+    // stats stay current incrementally — no batch recompute, the same
+    // merge path the repartition test exercises, now across time
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val name = s"kll_${System.nanoTime()}"
+    val q = mem.toDF().toDF("x")
+      .agg(kll_quantiles(col("x"), 200, ranks).as("s"))
+      .select(col("s.n").as("n"), col("s.quantiles").as("qs"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      values.grouped(5000).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      val row = spark.table(name).head()
+      checkGuarantee(row.getLong(0), row.getSeq[Double](1))
+    } finally q.stop()
+  }
+
   test("serialized sketch round-trips through a parquet binary column") {
     // two shards sketched independently — the incremental-stats shape:
     // each shard persists its own bytes, a later reader merges

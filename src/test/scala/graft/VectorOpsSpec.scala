@@ -172,6 +172,27 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("CosineTopKExec: custom operator is planned and matches the window form bit-for-bit") {
+    val df = VectorOps.simSearchExec(spark, sf)
+    val rows = df.select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // the custom strategy actually planned the node (physical nodes
+    // print without the Exec suffix) and the plan is valid — no "!"
+    // missing-attribute marker — with no fallback window/sort of pairs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CosineTopK"), s"custom exec not planned:\n${plan.take(1500)}")
+    assert(!plan.contains("!CosineTopK"), s"invalid plan:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"fell back to the window form:\n${plan.take(1500)}")
+    val window = VectorOps.simSearch(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == window.toSeq) // same rounding, same tie order
+    // regression: count() once let ColumnPruning empty the child
+    // projection (CosineTopK declared no references) and the exec read
+    // zero-field rows off a null base — a JVM crash, not an exception
+    assert(VectorOps.simSearchExec(spark, sf).count() == 15L)
+  }
+
   /** Exact L2 top-10 per query, computed independently of the library
     * path (plain Scala over the collected corpus) — the ground truth
     * PQ-ADC recall is judged against. */
