@@ -175,6 +175,26 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Triangle count over the same exact-Jaccard doc graph — the
+    * clustering-coefficient numerator, the standard "how clumpy is my
+    * near-dup graph" diagnostic. Node-iterator shape (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    * keep edges oriented LOW→HIGH id once, then two equi-joins —
+    * (a,b)⋈(b,c) proposes wedges, ⋈(a,c) closes them. Every join is an
+    * equi-join on node ids (never all-pairs), and the a<b<c orientation
+    * counts each triangle exactly once with no dedup pass. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = TextOps.jaccardPairs(s, d, 150)
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("a"), col("id_b").as("b")) // already a < b
+      .localCheckpoint() // three-way self-join; build the edge list once
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    wedges.as("w").join(e.as("e3"),
+        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Near-dup clusters over the exact 3-shingle Jaccard graph
     * (threshold 0.02, doc_id < 150 — the same bounded subset as
     * [[TextOps.ngramJaccard]], where exact scoring is affordable; at
@@ -216,7 +236,8 @@ object GraphOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_cc"     -> (dedupClusters(_, _)),
     "llm_dedup_groups" -> (dedupGroups(_, _)),
-    "graph_pagerank"   -> (pageRankDocs(_, _))
+    "graph_pagerank"   -> (pageRankDocs(_, _)),
+    "graph_triangles"  -> (triangleCount(_, _))
   )
 
   def oracles: Map[String, String] = Map(
@@ -248,6 +269,27 @@ object GraphOps {
         |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY comp)
         |SELECT lab.doc_id, lab.comp, cs.cluster_size
         |FROM lab JOIN cs ON lab.comp = cs.comp ORDER BY lab.doc_id""".stripMargin,
+    "graph_triangles" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.02)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+        |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     // same shingle graph as llm_dedup_cc; the 3 PageRank iterations are
     // replayed as unrolled CTEs in the SAME 10^-12 long fixed point —
     // integer floor-division agrees between engines on non-negative

@@ -295,6 +295,68 @@ object Relational {
       .orderBy("l_returnflag", "bucket")
   }
 
+  /** Conversion funnel (signup → purchase → purchase within 24 h): the
+    * event-sequence analytics a product team runs daily. Stage
+    * membership is two conditional min-aggregates and one equi-join on
+    * user_id — event payloads never shuffle, only (user, ts) pairs, and
+    * the funnel output is a single row of counts however large the
+    * event log is. */
+  def evFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .join(su, "user_id")
+      .filter(col("p_ts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min("p_ts").as("first_purchase_ts"))
+    su.join(pu, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_signed_up"),
+        sum(when(col("first_purchase_ts").isNotNull, 1L).otherwise(0L))
+          .as("n_purchased_after"),
+        sum(when(col("first_purchase_ts") <=
+            col("signup_ts") + expr("INTERVAL 24 HOURS"), 1L).otherwise(0L))
+          .as("n_converted_24h"))
+  }
+
+  /** Weekly cohort retention matrix: users grouped by first-activity
+    * week, counted in each later week they were active. (user, week)
+    * de-dups map-side before anything joins; the matrix is
+    * |cohorts|×|weeks| rows — constant-size output over any event
+    * volume. `date_trunc(week)` is ISO-Monday in both engines and the
+    * offset is integer epoch arithmetic, so the matrix hash-matches. */
+  def evRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val act = ev.distinct()
+    val cohort = act.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    act.join(cohort, "user_id")
+      .select(col("cohort_wk").cast("date").as("cohort_week"),
+        expr("(unix_timestamp(wk) - unix_timestamp(cohort_wk)) div 604800")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** NTILE quartiles (the ranking-window family member win_rank/win_dist
+    * don't cover): quartile assignment over a UNIQUE sort
+    * (price, orderkey) — ntile on a non-unique order is
+    * engine-dependent at bucket boundaries, on a unique one it is
+    * deterministic everywhere — then per-quartile size and price range. */
+  def winNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy("o_orderstatus", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo_price"),
+        max("o_totalprice").as("hi_price"))
+      .orderBy("o_orderstatus", "quartile")
+  }
+
   /** Grouped quantiles via the KLL sketch ([[graft.functions.KllQuantileAgg]])
     * with the estimates' EXACT ranks re-checked in a second scan — the
     * `agg_approx` oracle shape (each engine asserts its own sketch's rank
@@ -696,6 +758,9 @@ object Relational {
     "ts_resample"    -> (tsResample(_, _)),
     "ts_gapfill"     -> (tsGapfill(_, _)),
     "agg_histogram"  -> (aggHistogram(_, _)),
+    "ev_funnel"      -> (evFunnel(_, _)),
+    "ev_retention"   -> (evRetention(_, _)),
+    "win_ntile"      -> (winNtile(_, _)),
     "proj_basic"     -> (projBasic(_, _)),
     "filter_pred"    -> (filterPred(_, _)),
     "join_inner"     -> (joinInner(_, _)),
@@ -922,6 +987,43 @@ object Relational {
         |    PARTITION BY user_id ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
         |FROM j ORDER BY user_id, bucket""".stripMargin,
+    "ev_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |su AS (
+        |  SELECT user_id, MIN(ts) AS signup_ts FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+        |  FROM ev e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+        |  GROUP BY e.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_signed_up,
+        |  CAST(SUM(CASE WHEN pu.first_purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchased_after,
+        |  CAST(SUM(CASE WHEN pu.first_purchase_ts <= su.signup_ts + INTERVAL 24 HOUR
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h
+        |FROM su LEFT JOIN pu ON su.user_id = pu.user_id""".stripMargin,
+    "ev_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id)
+        |SELECT CAST(cohort.cohort_wk AS DATE) AS cohort_week,
+        |  (CAST(epoch(act.wk) AS BIGINT) - CAST(epoch(cohort.cohort_wk) AS BIGINT)) // 604800
+        |    AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM act JOIN cohort ON act.user_id = cohort.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "win_ntile" ->
+      """SELECT o_orderstatus, CAST(q AS INT) AS quartile,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_totalprice) AS lo_price, MAX(o_totalprice) AS hi_price
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |        ntile(4) OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice, o_orderkey) AS q
+        |      FROM orders)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_histogram" ->
       """SELECT l_returnflag,
         |  LEAST(9, CAST(round(l_extendedprice * 100) AS BIGINT) // 1100000) AS bucket,
