@@ -46,6 +46,40 @@ object TextOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Cross-corpus vocabulary overlap via THETA sketches
+    * ([[graft.functions.ThetaSketchAgg]]): |vocab(src0) ∩ vocab(src1)|
+    * estimated from two kilobyte sketches intersected IN-PLAN — the set
+    * operation HLL cannot express, and at 100 TB the only shape that
+    * avoids a distinct×distinct join of token sets. The exact distinct
+    * and intersection counts ride along as the cross-check (affordable
+    * at gate scale), and the output is the `agg_approx` contract: exact
+    * counts hash-compare, each engine bounds ITS OWN estimates. */
+  def thetaOverlap(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ThetaSketchAgg._
+    val toks = Tables.documents(s, d)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wide = toks.groupBy("source")
+      .agg(theta_sketch(col("w")).as("sk"))
+      .agg(
+        first(when(col("source") === "src0", col("sk")), ignoreNulls = true).as("sk0"),
+        first(when(col("source") === "src1", col("sk")), ignoreNulls = true).as("sk1"))
+    val v0 = toks.filter(col("source") === "src0").select("w").distinct()
+    val v1 = toks.filter(col("source") === "src1").select("w").distinct()
+    val exact = v0.agg(count(lit(1)).as("n0_exact"))
+      .crossJoin(v1.agg(count(lit(1)).as("n1_exact")))
+      .crossJoin(v0.join(v1, "w").agg(count(lit(1)).as("ni_exact")))
+    wide.crossJoin(exact).select(
+      col("n0_exact"), col("n1_exact"), col("ni_exact"),
+      (abs(theta_estimate(col("sk0")) - col("n0_exact")) * 20 <= col("n0_exact"))
+        .as("a_within_5pct"),
+      (abs(theta_estimate(col("sk1")) - col("n1_exact")) * 20 <= col("n1_exact"))
+        .as("b_within_5pct"),
+      (abs(theta_intersect_estimate(col("sk0"), col("sk1")) - col("ni_exact")) * 10
+        <= col("ni_exact")).as("inter_within_10pct"))
+  }
+
   /** Stratified rebalancing: downsample every language stratum to ≈ the
     * size of the SMALLEST one — the classic low-resource-language
     * rebalance before tokenizer/model training. Per-stratum keep
@@ -975,6 +1009,7 @@ object TextOps {
     "llm_pipeline"      -> (curationPipeline(_, _)),
     "llm_sample"        -> (sampleByHash(_, _)),
     "llm_sample_stratified" -> (sampleStratified(_, _)),
+    "agg_theta_overlap" -> (thetaOverlap(_, _)),
     "llm_mixture"       -> (mixture(_, _)),
     "llm_tfidf"         -> (tfidf(_, _)),
     "llm_pack"          -> (packTokens(_, _)),
@@ -1125,6 +1160,31 @@ object TextOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+    // the agg_approx contract: exact counts hash-compare; DuckDB bounds
+    // ITS sketch (HLL approx_count_distinct over the same sets) exactly
+    // where Spark bounds its theta estimates
+    "agg_theta_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE source IN ('src0', 'src1'))
+        |  WHERE length(w) > 0),
+        |t0 AS (SELECT DISTINCT w FROM toks WHERE source = 'src0'),
+        |t1 AS (SELECT DISTINCT w FROM toks WHERE source = 'src1'),
+        |ti AS (SELECT w FROM t0 INTERSECT SELECT w FROM t1),
+        |ex AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t0) AS n0_exact,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1_exact,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ti) AS ni_exact),
+        |est AS (
+        |  SELECT (SELECT approx_count_distinct(w) FROM (SELECT w FROM toks WHERE source = 'src0')) AS e0,
+        |         (SELECT approx_count_distinct(w) FROM (SELECT w FROM toks WHERE source = 'src1')) AS e1,
+        |         (SELECT approx_count_distinct(w) FROM ti) AS ei)
+        |SELECT n0_exact, n1_exact, ni_exact,
+        |  abs(e0 - n0_exact) * 20 <= n0_exact AS a_within_5pct,
+        |  abs(e1 - n1_exact) * 20 <= n1_exact AS b_within_5pct,
+        |  abs(ei - ni_exact) * 10 <= ni_exact AS inter_within_10pct
+        |FROM ex, est""".stripMargin,
     "llm_sample_stratified" ->
       """WITH counts AS (
         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY lang),
