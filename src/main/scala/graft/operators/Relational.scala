@@ -364,7 +364,7 @@ object Relational {
     * sorts the full per-group value stream; at 100 TB the KLL partials
     * carry O(k·log n) bytes per partition instead, and the rank guarantee
     * (k=200 ⇒ ±1.65% at 99% confidence; checked here at ±2.5%) survives
-    * any merge order. The 5-row sketch output broadcasts back onto the
+    * any merge order. The 3-row sketch output broadcasts back onto the
     * fact scan for the exact-rank count, so the check itself is one more
     * map-side pass, never a sort. */
   def aggQuantileSketch(s: SparkSession, d: String): DataFrame = {
