@@ -101,6 +101,25 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
     throw new IllegalStateException("CodegenFallback handles codegen")
 }
 
+/** |A \ B| estimate (AnotB) — with union and intersection this closes
+  * the set algebra over sketches. */
+case class ThetaDiffEstimate(left: Expression, right: Expression)
+  extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    op.setA(CompactSketch.wrap(Memory.wrap(a.asInstanceOf[Array[Byte]])))
+    op.notB(CompactSketch.wrap(Memory.wrap(b.asInstanceOf[Array[Byte]])))
+    op.getResult(true).getEstimate
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaDiffEstimate =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "theta_diff_estimate"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    throw new IllegalStateException("CodegenFallback handles codegen")
+}
+
 object ThetaSketchAgg {
   /** `theta_sketch(x)` → serialized CompactSketch bytes per group. */
   def theta_sketch(x: Column): Column =
@@ -115,5 +134,10 @@ object ThetaSketchAgg {
   def theta_intersect_estimate(a: Column, b: Column): Column =
     GraftColumnBridge.toColumn(
       ThetaIntersectEstimate(
+        GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+
+  def theta_diff_estimate(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(
+      ThetaDiffEstimate(
         GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 }

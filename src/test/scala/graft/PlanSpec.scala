@@ -209,6 +209,18 @@ class PlanSpec extends SparkSpec {
       s"lateral fell back to a loop join:\n${plan.take(2000)}")
   }
 
+  test("graph_triangles: wedge closure plans as equi-joins, never a loop join") {
+    val df = graft.operators.GraphOps.queries("graph_triangles")(spark, sf)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"triangle join degenerated to a loop:\n${plan.take(2000)}")
+  }
+
   test("rows-only queries are exactly the known oracle-inexpressible set") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     // hash families / sketches / env-local paths / float-merge outputs —

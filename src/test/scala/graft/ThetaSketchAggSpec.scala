@@ -46,6 +46,19 @@ class ThetaSketchAggSpec extends SparkSpec {
     assert(math.abs(inter - 20001) <= 2000, s"inter=$inter")
   }
 
+  test("difference estimate (AnotB) bounds the exact |A \\ B|") {
+    // A = 1..60k, B = 40k..100k → |A\B| = 39999
+    val a = (1 to 60000).map(i => ("a", s"u$i"))
+    val b = (40000 to 100000).map(i => ("b", s"u$i"))
+    val diff = (a ++ b).toDF("g", "x").repartition(8)
+      .groupBy("g").agg(theta_sketch(col("x")).as("sk"))
+      .agg(first(when(col("g") === "a", col("sk")), ignoreNulls = true).as("ska"),
+        first(when(col("g") === "b", col("sk")), ignoreNulls = true).as("skb"))
+      .select(theta_diff_estimate(col("ska"), col("skb")).as("d"))
+      .as[Double].head()
+    assert(math.abs(diff - 39999) <= 4000, s"diff=$diff")
+  }
+
   test("serialized partials round-trip: merge of deserialized halves is consistent") {
     import org.apache.datasketches.memory.Memory
     import org.apache.datasketches.theta.SetOperation
