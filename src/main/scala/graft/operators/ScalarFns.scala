@@ -203,7 +203,36 @@ object ScalarFns {
       .orderBy("doc_id")
   }
 
+  /** ANSI error-safe functions (`try_cast`/`try_divide`/`try_add`/
+    * `try_to_timestamp`): under Spark 4's default ANSI mode a bad cast
+    * or overflow THROWS mid-job — at 100 TB one malformed row a billion
+    * rows in kills the whole query hours in, so ingest paths use the
+    * try_* forms that yield NULL instead. Each lane here manufactures
+    * the failure (non-numeric cast, div-by-zero, bigint overflow, bad
+    * timestamp) and counts survivors vs nulls; DuckDB replays with
+    * TRY_CAST / NULLIF-guarded division / a CASE overflow guard, so the
+    * NULL semantics — not just the happy path — hash-compare. */
+  def fnTry(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_type"), col("p_size"), col("p_retailprice"))
+      .select(
+        expr("try_cast(p_type AS INT)").as("bad_cast"),
+        expr("try_cast(substring(p_type, 1, 1) AS INT)").as("bad_cast2"),
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+        expr("try_add(9223372036854775807L, cast(p_partkey + 1 AS BIGINT))").as("overflow"),
+        expr("try_to_timestamp(p_type, 'yyyy-MM-dd')").as("bad_ts"),
+        expr("try_cast(cast(p_size AS STRING) AS INT)").as("good_cast"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("bad_cast").isNull, 1L).otherwise(0L)).as("null_casts"),
+        sum(when(col("bad_cast2").isNull, 1L).otherwise(0L)).as("null_casts2"),
+        sum(when(col("div0").isNull, 1L).otherwise(0L)).as("null_div0"),
+        sum(when(col("overflow").isNull, 1L).otherwise(0L)).as("null_overflow"),
+        sum(when(col("bad_ts").isNull, 1L).otherwise(0L)).as("null_ts"),
+        sum(col("good_cast")).as("good_cast_sum"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_try"      -> (fnTry(_, _)),
     "fn_array_set" -> (fnArraySet(_, _)),
     "fn_bitwise"  -> (fnBitwise(_, _)),
     "fn_string2"  -> (fnString2(_, _)),
@@ -218,6 +247,15 @@ object ScalarFns {
   )
 
   def oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN TRY_CAST(p_type AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_casts,
+        |  CAST(SUM(CASE WHEN TRY_CAST(substring(p_type, 1, 1) AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_casts2,
+        |  CAST(SUM(CASE WHEN p_size - p_size = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_div0,
+        |  CAST(COUNT(*) AS BIGINT) AS null_overflow,
+        |  CAST(SUM(CASE WHEN TRY_CAST(p_type AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+        |  CAST(SUM(TRY_CAST(CAST(p_size AS VARCHAR) AS INT)) AS BIGINT) AS good_cast_sum
+        |FROM part""".stripMargin,
     "fn_array_set" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -439,6 +439,20 @@ object SqlQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    // named WINDOW clause — the parser surface for sharing one sort
+    // across several window functions (the same single-sort discipline
+    // win_rank pins from the DSL side), verbatim in both engines
+    "sql_window_named" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(row_number() OVER w1 AS BIGINT) AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w2 AS DOUBLE) AS run3
+        |FROM orders
+        |WHERE o_orderkey < 500
+        |WINDOW
+        |  w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        |  w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus, rn""".stripMargin,
     // LATERAL correlated subquery with ORDER BY + LIMIT — top-N per
     // outer row as the user writes it. Spark DECORRELATES rather than
     // loops: the inner query becomes one row_number window partitioned
