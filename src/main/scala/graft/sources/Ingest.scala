@@ -144,6 +144,43 @@ object Ingest {
   /** A7 read path over the persisted catalog: interval-containment lookup
     * with dataset partition pruning (replaces the RocksDB range-index
     * probe, /root/reference/src/rocksdb_storage_engine.rs:34-50). */
+  /** Dead-letter decode lane: split a raw text batch into typed good
+    * rows and quarantined rows WITH a reason, in ONE cached scan — the
+    * production answer to the reference ingest's per-chunk decode
+    * `Result` (/root/reference/src/data_manager.rs): at 100 TB a single
+    * malformed row must neither kill the job (ANSI throw) nor vanish
+    * silently (permissive-null), it must land in a quarantine table a
+    * human can replay. All parse lanes are `try_cast` (NULL, never
+    * throw); reason precedence is fixed (arity → field casts → range)
+    * so the verdict is deterministic per line. */
+  def decodeWithQuarantine(raw: DataFrame): (DataFrame, DataFrame) = {
+    // get() (not [i]) — ANSI mode makes [i] THROW on a short split, the
+    // exact failure class this lane exists to absorb
+    val f = split(col("line"), ",")
+    val parsed = raw
+      .select(col("line"), coalesce(get(f, lit(0)), lit("")).as("chunk_id"),
+        expr("try_cast(get(split(line, ','), 1) AS BIGINT)").as("dataset_id"),
+        expr("try_cast(get(split(line, ','), 2) AS BIGINT)").as("block_start"),
+        expr("try_cast(get(split(line, ','), 3) AS BIGINT)").as("block_end"),
+        expr("try_cast(get(split(line, ','), 4) AS BIGINT)").as("size_bytes"),
+        size(f).as("arity"))
+      .withColumn("reason",
+        when(col("arity") =!= 5, "wrong_arity")
+          .when(length(col("chunk_id")) === 0, "empty_chunk_id")
+          .when(col("dataset_id").isNull, "bad_dataset_id")
+          .when(col("block_start").isNull || col("block_end").isNull, "bad_block_range")
+          .when(col("size_bytes").isNull, "bad_size")
+          .when(col("block_end") < col("block_start"), "inverted_range")
+          .when(col("size_bytes") < 0, "negative_size")
+          .otherwise(lit(null)))
+      .cache() // one scan feeds both lanes; never parse the batch twice
+    val good = parsed.filter(col("reason").isNull)
+      .select("chunk_id", "dataset_id", "block_start", "block_end", "size_bytes")
+    val quarantined = parsed.filter(col("reason").isNotNull)
+      .select("line", "reason")
+    (good, quarantined)
+  }
+
   def findChunk(spark: SparkSession, catalogPath: String,
       datasetId: String, blockNumber: Long): DataFrame =
     readCatalog(spark, catalogPath)

@@ -160,4 +160,38 @@ class IngestSpec extends SparkSpec {
     assert(fs.exists(new HPath(dst, "NEW")))
     assert(!fs.exists(new HPath(root, "catalog_old")))
   }
+
+  test("quarantine lane: every malformed line lands with its first-failing reason") {
+    import spark.implicits._
+    val lines = Seq(
+      "c1,1,0,100,512",          // good
+      "c2,1,100,200,1024",       // good
+      "c3,1,5",                  // wrong_arity
+      ",1,0,100,512",            // empty_chunk_id
+      "c4,x,0,100,512",          // bad_dataset_id
+      "c5,1,zero,100,512",       // bad_block_range
+      "c6,1,0,100,big",          // bad_size
+      "c7,1,200,100,512",        // inverted_range
+      "c8,1,0,100,-9",           // negative_size
+      "c9,x,y,z",                // wrong_arity wins over later lanes
+      "c10,1,0,100,512,extra")   // wrong_arity (too many)
+    val (good, bad) = Ingest.decodeWithQuarantine(lines.toDF("line"))
+    val goodIds = good.select("chunk_id").as[String].collect().sorted.toSeq
+    assert(goodIds == Seq("c1", "c2"))
+    // typed columns survive the lane intact
+    val g = good.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(g("c1") == ((1L, 0L, 100L, 512L)))
+    val reasons = bad.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reasons.size == lines.size - 2) // nothing dropped silently
+    assert(reasons("c3,1,5") == "wrong_arity")
+    assert(reasons(",1,0,100,512") == "empty_chunk_id")
+    assert(reasons("c4,x,0,100,512") == "bad_dataset_id")
+    assert(reasons("c5,1,zero,100,512") == "bad_block_range")
+    assert(reasons("c6,1,0,100,big") == "bad_size")
+    assert(reasons("c7,1,200,100,512") == "inverted_range")
+    assert(reasons("c8,1,0,100,-9") == "negative_size")
+    assert(reasons("c9,x,y,z") == "wrong_arity")
+    assert(reasons("c10,1,0,100,512,extra") == "wrong_arity")
+  }
 }
