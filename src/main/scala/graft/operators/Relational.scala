@@ -295,6 +295,36 @@ object Relational {
       .orderBy("l_returnflag", "bucket")
   }
 
+  /** Data-quality constraint suite (the Deequ-style pre-flight a lake
+    * pipeline runs before publishing a table): completeness (no null
+    * keys), key uniqueness, referential integrity (orders→customer,
+    * lineitem→orders), and a domain check — each reduced to a count of
+    * VIOLATIONS, so the all-green state is a row of zeros that
+    * hash-compares exactly. Each constraint is one aggregate or one
+    * anti-join on the key — nothing scans twice, dims broadcast. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val cust = Tables.customer(s, d)
+    val nullKeys = orders
+      .agg(sum(when(col("o_orderkey").isNull || col("o_custkey").isNull, 1L)
+        .otherwise(0L)).as("orders_null_keys"))
+    val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("orders_dup_keys"))
+    val orphanOrders = orders.join(broadcast(cust),
+        orders("o_custkey") === cust("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orders_orphan_cust"))
+    val orphanItems = li.join(orders,
+        li("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphan_orders"))
+    val domain = li
+      .agg(sum(when(col("l_quantity") <= 0 || col("l_discount") < 0 ||
+        col("l_discount") > 1, 1L).otherwise(0L)).as("lineitem_domain_violations"))
+    nullKeys.crossJoin(dupKeys).crossJoin(orphanOrders)
+      .crossJoin(orphanItems).crossJoin(domain)
+  }
+
   /** Conversion funnel (signup → purchase → purchase within 24 h): the
     * event-sequence analytics a product team runs daily. Stage
     * membership is two conditional min-aggregates and one equi-join on
@@ -759,6 +789,7 @@ object Relational {
     "ts_gapfill"     -> (tsGapfill(_, _)),
     "agg_histogram"  -> (aggHistogram(_, _)),
     "ev_funnel"      -> (evFunnel(_, _)),
+    "dq_checks"      -> (dqChecks(_, _)),
     "ev_retention"   -> (evRetention(_, _)),
     "win_ntile"      -> (winNtile(_, _)),
     "proj_basic"     -> (projBasic(_, _)),
@@ -987,6 +1018,22 @@ object Relational {
         |    PARTITION BY user_id ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
         |FROM j ORDER BY user_id, bucket""".stripMargin,
+    "dq_checks" ->
+      """SELECT
+        |  (SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+        |            THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS orders_null_keys,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+        |    (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        |    AS orders_dup_keys,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS orders_orphan_cust,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS lineitem_orphan_orders,
+        |  (SELECT CAST(SUM(CASE WHEN l_quantity <= 0 OR l_discount < 0 OR l_discount > 1
+        |            THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+        |    AS lineitem_domain_violations""".stripMargin,
     "ev_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
