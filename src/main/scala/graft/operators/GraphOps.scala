@@ -195,6 +195,56 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling (Matula & Beck '83):
+    * repeatedly drop nodes whose degree among SURVIVORS is < k. The
+    * 2-core of the near-dup graph is the "no stragglers" region —
+    * clusters that stay clusters after any single doc is removed, the
+    * robustness cut dedup pipelines use before trusting a cluster.
+    * Each round is one (edges ⋈ survivors ⋈ survivors) count plus a
+    * filter — degree partials shuffle, never documents — and rounds are
+    * FIXED (4) so the DuckDB oracle replays them as unrolled CTEs;
+    * GraphOpsSpec proves round 4 is already the fixpoint on this graph,
+    * so the declared output IS the true 2-core, not an approximation. */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var surviving = nodes.select("node").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = sym
+        .join(surviving.withColumnRenamed("node", "src"), "src")
+        .join(surviving.select(col("node").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("n"))
+      val next = surviving
+        .join(deg.withColumnRenamed("src", "node"), "node") // inner: deg-0 drops
+        .filter(col("n") >= k)
+        .select("node")
+        .localCheckpoint()
+      surviving.unpersist(blocking = false)
+      surviving = next
+    }
+    val finalDeg = sym
+      .join(surviving.withColumnRenamed("node", "src"), "src")
+      .join(surviving.select(col("node").as("dst")), "dst")
+      .groupBy("src").agg(count(lit(1)).as("core_deg"))
+    surviving.join(finalDeg.withColumnRenamed("src", "node"), "node")
+      .select(col("node"), col("core_deg"))
+  }
+
+  /** 2-core of the exact-Jaccard doc graph ([[dedupClusters]]' graph). */
+  def kCoreDocs(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id").as("node"))
+    val edges = TextOps.jaccardPairs(s, d, 150)
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    kCore(nodes, edges, k = 2, rounds = 4)
+      .select(col("node").as("doc_id"), col("core_deg"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup clusters over the exact 3-shingle Jaccard graph
     * (threshold 0.02, doc_id < 150 — the same bounded subset as
     * [[TextOps.ngramJaccard]], where exact scoring is affordable; at
@@ -237,7 +287,8 @@ object GraphOps {
     "llm_dedup_cc"     -> (dedupClusters(_, _)),
     "llm_dedup_groups" -> (dedupGroups(_, _)),
     "graph_pagerank"   -> (pageRankDocs(_, _)),
-    "graph_triangles"  -> (triangleCount(_, _))
+    "graph_triangles"  -> (triangleCount(_, _)),
+    "graph_kcore"      -> (kCoreDocs(_, _))
   )
 
   def oracles: Map[String, String] = Map(
@@ -269,6 +320,42 @@ object GraphOps {
         |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY comp)
         |SELECT lab.doc_id, lab.comp, cs.cluster_size
         |FROM lab JOIN cs ON lab.comp = cs.comp ORDER BY lab.doc_id""".stripMargin,
+    "graph_kcore" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.02),
+        |sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+        |s0 AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 150),
+        |d1 AS (SELECT e.src, COUNT(*) AS n FROM sym e
+        |  JOIN s0 a ON e.src = a.node JOIN s0 b ON e.dst = b.node GROUP BY e.src),
+        |s1 AS (SELECT node FROM s0 JOIN d1 ON node = src WHERE n >= 2),
+        |d2 AS (SELECT e.src, COUNT(*) AS n FROM sym e
+        |  JOIN s1 a ON e.src = a.node JOIN s1 b ON e.dst = b.node GROUP BY e.src),
+        |s2 AS (SELECT node FROM s1 JOIN d2 ON node = src WHERE n >= 2),
+        |d3 AS (SELECT e.src, COUNT(*) AS n FROM sym e
+        |  JOIN s2 a ON e.src = a.node JOIN s2 b ON e.dst = b.node GROUP BY e.src),
+        |s3 AS (SELECT node FROM s2 JOIN d3 ON node = src WHERE n >= 2),
+        |d4 AS (SELECT e.src, COUNT(*) AS n FROM sym e
+        |  JOIN s3 a ON e.src = a.node JOIN s3 b ON e.dst = b.node GROUP BY e.src),
+        |s4 AS (SELECT node FROM s3 JOIN d4 ON node = src WHERE n >= 2),
+        |df AS (SELECT e.src, CAST(COUNT(*) AS BIGINT) AS core_deg FROM sym e
+        |  JOIN s4 a ON e.src = a.node JOIN s4 b ON e.dst = b.node GROUP BY e.src)
+        |SELECT s4.node AS doc_id, df.core_deg
+        |FROM s4 JOIN df ON s4.node = df.src ORDER BY doc_id""".stripMargin,
     "graph_triangles" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, sh FROM (

@@ -109,6 +109,30 @@ class GraphOpsSpec extends SparkSpec {
     pr
   }
 
+  test("kCore: peeling cascades, isolated nodes drop, round 4 is the fixpoint") {
+    // path 0-1-2 dies by cascade (ends first, then middle); the triangle
+    // 3-4-5 plus pendant 6 keeps the triangle only; 7 is isolated
+    val nodes = (0L to 7L).toDF("node")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val core = GraphOps.kCore(nodes, edges, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(3L -> 2L, 4L -> 2L, 5L -> 2L))
+    // the declared query's fixed 4 rounds must already BE the fixpoint
+    // on the real graph — otherwise graph_kcore's output would be a
+    // truncated peel, not the 2-core
+    val r4 = GraphOps.kCoreDocs(spark, sf).collect().map(_.toSeq).toSet
+    val nodes150 = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 150).select(col("doc_id").as("node"))
+    val edges150 = graft.operators.TextOps.jaccardPairs(spark, sf, 150)
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val r6 = GraphOps.kCore(nodes150, edges150, k = 2, rounds = 6)
+      .select(col("node").as("doc_id"), col("core_deg")).orderBy("doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(r4 == r6, "4-round peel has not converged on the doc graph")
+  }
+
   test("pageRank matches the local fixed-point replay exactly") {
     // star (hub 0), a 2-cycle, and TWO isolated nodes (dangling mass)
     val nodes = (0L to 7L).toDF("node").repartition(4)
