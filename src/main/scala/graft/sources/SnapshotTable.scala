@@ -388,6 +388,52 @@ object SnapshotTable {
       schema.getOrElse(df.schema), meta = Seq.empty)
   }
 
+  /** OPTIMIZE ZORDER: rewrite the current snapshot's data files
+    * clustered by the Morton interleave of two columns, so the per-file
+    * min/max stats the manifest already records ([[filesForRange]],
+    * [[deleteWhere]]) prune on BOTH dimensions — the lakehouse answer
+    * to "sort order can only serve one column". Rows are unchanged
+    * (SnapshotSpec proves set equality); only layout and therefore
+    * pruning improves, and the rewrite is one range-partitioned sort —
+    * the same shuffle a global sort pays, amortized over every future
+    * read. Bucket scaling is integer arithmetic off a single min/max
+    * row (metadata-scale driver state); history keeps the old layout
+    * (time travel is unaffected). */
+  def optimizeZorder(spark: SparkSession, table: String,
+      colA: String, colB: String, bits: Int = 8,
+      targetRows: Long = 1000000L): Long = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion(table)
+    require(v > 0, s"no committed snapshot in $table")
+    val all = entries(table, v)
+    val schema = schemaOf(table, v)
+    val df0 = schema match {
+      case Some(st) => spark.read.schema(st).parquet(all.map(_.path): _*)
+      case None => spark.read.parquet(all.map(_.path): _*)
+    }
+    val mm = df0.agg(
+      min(col(colA).cast("long")).as("a_lo"), max(col(colA).cast("long")).as("a_hi"),
+      min(col(colB).cast("long")).as("b_lo"), max(col(colB).cast("long")).as("b_hi"))
+      .head()
+    val (aLo, aHi, bLo, bHi) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    val nb = (1 << bits) - 1
+    def bucket(c: String, lo: Long, hi: Long) =
+      if (hi == lo) lit(0)
+      else expr(s"cast(((cast($c as bigint) - ${lo}L) * $nb) div ${hi - lo}L as int)")
+    val z = Formats.zInterleaveCol(
+      bucket(colA, aLo, aHi), bucket(colB, bLo, bHi), bits)
+    val rows = all.map(_.rows).sum
+    val nOut = math.max(1L, math.ceil(rows.toDouble / targetRows).toLong).toInt
+    val clustered = df0.withColumn("__z", z)
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commitRewrite(spark, table, clustered, Seq.empty,
+      schema.getOrElse(df0.schema),
+      meta = Seq(s"#optimized=zorder($colA,$colB,bits=$bits)"))
+  }
+
   /** Metadata (`#`-prefixed) lines of `version`'s manifest — batch
     * markers, pinned schema, consumer bookmarks like
     * [[MaterializedView]]'s `#basedon`. */

@@ -10,6 +10,38 @@ class SnapshotSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("graft_snap").resolve("t").toString
 
+  test("optimizeZorder: rows unchanged, both dimensions prune after rewrite") {
+    val t = tmp()
+    // 4 commits of (x, y) pairs SHUFFLED so every pre-optimize file
+    // spans nearly the full range of both columns — worst layout
+    val rnd = new scala.util.Random(7)
+    val pts = rnd.shuffle((0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y))).toVector)
+    pts.grouped(1024).foreach { g =>
+      SnapshotTable.commit(spark, t, g.toDF("x", "y").repartition(1))
+    }
+    val vBefore = SnapshotTable.currentVersion(t)
+    val before = SnapshotTable.read(spark, t).as[(Long, Long)].collect().sorted.toSeq
+    def prunedFrac(v: Long, c: String): Double = {
+      val all = SnapshotTable.entries(t, v).size
+      SnapshotTable.filesForRange(t, v, c, 0L, 7L).size.toDouble / all
+    }
+    // worst layout: an x- or y-range query reads every file
+    assert(prunedFrac(vBefore, "x") == 1.0 && prunedFrac(vBefore, "y") == 1.0)
+    val vAfter = SnapshotTable.optimizeZorder(spark, t, "x", "y",
+      bits = 6, targetRows = 256L)
+    assert(vAfter == vBefore + 1)
+    val after = SnapshotTable.read(spark, t).as[(Long, Long)].collect().sorted.toSeq
+    assert(after == before) // OPTIMIZE moves bytes, never changes rows
+    // z-clustering makes the same 1/8-range query prune on BOTH columns
+    assert(prunedFrac(vAfter, "x") <= 0.5, s"x frac=${prunedFrac(vAfter, "x")}")
+    assert(prunedFrac(vAfter, "y") <= 0.5, s"y frac=${prunedFrac(vAfter, "y")}")
+    // the optimize is recorded in the manifest, and history still serves
+    // the pre-optimize layout (time travel unaffected)
+    assert(SnapshotTable.manifestMeta(t, vAfter)
+      .exists(_.contains("optimized=zorder(x,y")))
+    assert(SnapshotTable.readVersion(spark, t, vBefore).count() == before.size)
+  }
+
   test("append commits accumulate; every version stays time-travelable") {
     val t = tmp()
     val v1 = SnapshotTable.commit(spark, t, (1 to 100).toDF("n"))
