@@ -54,4 +54,30 @@ class TopKAggSpec extends SparkSpec {
       .select($"e.value", $"e.payload").as[(Double, Long)].collect().toSeq
     assert(top == Seq((3.0, 1L), (1.0, 2L)))
   }
+
+  test("streaming micro-batches keep a correct running top-k as state") {
+    // the k-pair heap is the state-store payload — a leaderboard that
+    // updates per micro-batch without reprocessing history, same
+    // incremental contract the KLL streaming test pins for quantiles
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Double, Long)]
+    val name = s"topk_${System.nanoTime()}"
+    val q = mem.toDF().toDF("v", "p")
+      .agg(TopKAgg.top_k_by(col("v"), col("p"), 3).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select($"e.value", $"e.payload")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      val batches = Seq(
+        Seq((5.0, 1L), (1.0, 2L)),
+        Seq((7.0, 3L), (0.5, 4L)),
+        Seq((6.0, 5L), (5.5, 6L)))
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val top = spark.table(name).as[(Double, Long)].collect().toSeq
+        .sortBy(-_._1)
+      assert(top == Seq((7.0, 3L), (6.0, 5L), (5.5, 6L)))
+    } finally q.stop()
+  }
 }
