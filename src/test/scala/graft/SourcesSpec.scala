@@ -78,4 +78,39 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"))
     assert(back.count() == base.filter($"o_orderstatus" === "F").count())
   }
+
+  test("csv malformed-row modes: PERMISSIVE nulls+captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rows.csv"),
+      "1,alpha,10\n2,beta,not_a_number\n3,gamma,30\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("n", LongType), StructField("_bad", StringType)))
+    // PERMISSIVE (the quarantine-friendly default): bad field → null,
+    // raw line captured in the corrupt-record column for replay
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .csv(dir).collect().sortBy(_.getLong(0))
+    assert(permissive.length == 3)
+    val bad = permissive(1)
+    assert(bad.isNullAt(2) && bad.getString(3).contains("not_a_number"))
+    assert(permissive(0).isNullAt(3) && permissive(2).isNullAt(3))
+    // DROPMALFORMED: silent narrowing — 2 rows survive. collect(), not
+    // count(): CSV column pruning means count() parses ZERO fields, so
+    // no row is ever malformed and all 3 "survive" — the malformed
+    // verdict exists only for columns a query actually reads
+    val dropped = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(dir)
+    assert(dropped.collect().length == 2)
+    assert(dropped.count() == 3) // the pruning caveat, pinned
+    // FAILFAST: ANSI-style loud failure for pipelines that must halt
+    val failed = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.fields.dropRight(1)))
+        .option("mode", "FAILFAST").csv(dir).collect()
+    }
+    assert(failed.getMessage.contains("Malformed") ||
+      failed.getCause != null)
+  }
 }
