@@ -46,6 +46,42 @@ object TextOps {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Maximal shared word spans between document pairs — the exact-
+    * substring dedup primitive (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22), Spark-shaped: no
+    * suffix array. Positional 3-gram shingles equi-join into match
+    * points; matches on one (pair, diagonal pa−pb) that are CONSECUTIVE
+    * in pa are one shared span, and the classic islands trick
+    * (pa − row_number) groups each run in a single window pass, so the
+    * cost is O(matching shingles), never O(len²) alignment. A span of
+    * r consecutive 3-gram matches is r+2 shared words; ≥ 4 words is
+    * reported. At 100 TB the positional pass runs per candidate pair
+    * AFTER MinHash banding ([[minhashPairs]]) proposes them — the same
+    * staging this corpus-bounded form (doc_id < 100) demonstrates. */
+  def sharedSpans(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(
+        expr("transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))")))
+      .toDF("doc_id", "pos0", "s")
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("s"))
+    val m = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val g = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy("ia", "ib", "diag").orderBy("pa")))
+    g.groupBy("ia", "ib", "diag", "grp")
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (count(lit(1)) + 2).as("span_words"))
+      .filter(col("span_words") >= 4)
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
+        col("a_start"), col("b_start"), col("span_words"))
+      .orderBy("doc_a", "doc_b", "a_start")
+  }
+
   /** Cross-corpus vocabulary overlap via THETA sketches
     * ([[graft.functions.ThetaSketchAgg]]): |vocab(src0) ∩ vocab(src1)|
     * estimated from two kilobyte sketches intersected IN-PLAN — the set
@@ -1010,6 +1046,7 @@ object TextOps {
     "llm_sample"        -> (sampleByHash(_, _)),
     "llm_sample_stratified" -> (sampleStratified(_, _)),
     "agg_theta_overlap" -> (thetaOverlap(_, _)),
+    "llm_shared_spans"  -> (sharedSpans(_, _)),
     "llm_mixture"       -> (mixture(_, _)),
     "llm_tfidf"         -> (tfidf(_, _)),
     "llm_pack"          -> (packTokens(_, _)),
@@ -1160,6 +1197,27 @@ object TextOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+    "llm_shared_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i)),
+        |m AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |g AS (
+        |  SELECT ia, ib, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS grp
+        |  FROM m)
+        |SELECT ia AS doc_a, ib AS doc_b,
+        |  MIN(pa) AS a_start, MIN(pb) AS b_start,
+        |  CAST(COUNT(*) + 2 AS BIGINT) AS span_words
+        |FROM g GROUP BY ia, ib, diag, grp
+        |HAVING COUNT(*) + 2 >= 4
+        |ORDER BY doc_a, doc_b, a_start""".stripMargin,
     // the agg_approx contract: exact counts hash-compare; DuckDB bounds
     // ITS sketch (HLL approx_count_distinct over the same sets) exactly
     // where Spark bounds its theta estimates

@@ -324,4 +324,28 @@ class TextOpsSpec extends SparkSpec {
         s"$lang: est=${direct(lang)} exact=$x beyond 5%")
     }
   }
+
+  test("sharedSpans: every reported span is a true verbatim match and maximal") {
+    val texts = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ") }.toMap
+    val spans = TextOps.sharedSpans(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty, "corpus should contain at least one 4-word span")
+    spans.foreach { case (ia, ib, pa, pb, len) =>
+      val a = texts(ia).slice(pa.toInt - 1, pa.toInt - 1 + len.toInt)
+      val b = texts(ib).slice(pb.toInt - 1, pb.toInt - 1 + len.toInt)
+      assert(a.sameElements(b), s"span ($ia,$ib,$pa,$pb,$len) is not verbatim")
+      assert(len >= 4)
+      // maximality: extending one word on either side must break the match
+      val leftA = if (pa >= 2) texts(ia).lift(pa.toInt - 2) else None
+      val leftB = if (pb >= 2) texts(ib).lift(pb.toInt - 2) else None
+      assert(leftA.isEmpty || leftB.isEmpty || leftA != leftB,
+        s"span ($ia,$ib,$pa,$pb) extends left")
+      val rightA = texts(ia).lift(pa.toInt - 1 + len.toInt)
+      val rightB = texts(ib).lift(pb.toInt - 1 + len.toInt)
+      assert(rightA.isEmpty || rightB.isEmpty || rightA != rightB,
+        s"span ($ia,$ib,$pa,$pb) extends right")
+    }
+  }
 }
