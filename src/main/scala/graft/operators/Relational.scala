@@ -790,6 +790,12 @@ object Relational {
     "agg_histogram"  -> (aggHistogram(_, _)),
     "ev_funnel"      -> (evFunnel(_, _)),
     "dq_checks"      -> (dqChecks(_, _)),
+    // the hot-key mitigation DECLARED through the gate: salting is plan-
+    // internal (content-derived, deterministic), so the output — and its
+    // oracle — is exactly the plain GROUP BY's
+    "skew_salted_agg" -> ((s, d) => graft.plans.Scale
+      .saltedCountSum(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")),
     "ev_retention"   -> (evRetention(_, _)),
     "win_ntile"      -> (winNtile(_, _)),
     "proj_basic"     -> (projBasic(_, _)),
@@ -1018,6 +1024,10 @@ object Relational {
         |    PARTITION BY user_id ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
         |FROM j ORDER BY user_id, bucket""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "dq_checks" ->
       """SELECT
         |  (SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
