@@ -290,6 +290,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Curriculum assignment: rank the corpus by the [[quality]] diversity
+    * signal and deal it into 4 training phases, easiest (most diverse /
+    * cleanest) first — curriculum learning's data-prep step. ntile over
+    * a UNIQUE (score, doc_id) order is deterministic, and the phase
+    * manifest (doc counts, token budget, score range per phase) is the
+    * artifact a training run consumes. One window pass; token budgets
+    * sum exact integers. */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val toks = words(col("text"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("diversity"))
+    val w = Window.orderBy(col("diversity").desc, col("doc_id"))
+    scored.withColumn("phase", ntile(4).over(w))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("token_budget"),
+        min("diversity").as("min_diversity"),
+        max("diversity").as("max_diversity"))
+      .orderBy("phase")
+  }
+
   /** Token counting: whitespace tokens + alpha tokens + a 4-chars-per-token
     * BPE-style subword estimate (integer ceil-div, exact both engines). */
   def tokenCount(s: SparkSession, d: String): DataFrame = {
@@ -1047,6 +1071,7 @@ object TextOps {
     "llm_sample_stratified" -> (sampleStratified(_, _)),
     "agg_theta_overlap" -> (thetaOverlap(_, _)),
     "llm_shared_spans"  -> (sharedSpans(_, _)),
+    "llm_curriculum"    -> (curriculum(_, _)),
     "llm_mixture"       -> (mixture(_, _)),
     "llm_tfidf"         -> (tfidf(_, _)),
     "llm_pack"          -> (packTokens(_, _)),
@@ -1197,6 +1222,21 @@ object TextOps {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+    "llm_curriculum" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) AS diversity
+        |  FROM documents),
+        |p AS (
+        |  SELECT n_words, diversity,
+        |    ntile(4) OVER (ORDER BY diversity DESC, doc_id) AS phase
+        |  FROM scored)
+        |SELECT CAST(phase AS INT) AS phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS token_budget,
+        |  MIN(diversity) AS min_diversity, MAX(diversity) AS max_diversity
+        |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
     "llm_shared_spans" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws
