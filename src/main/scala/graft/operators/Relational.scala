@@ -534,6 +534,26 @@ object Relational {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
+  /** VALUE-based RANGE frame — the window family [[winFrame]]'s ROWS
+    * frames can't express: "everything in the trailing 7 DAYS", where
+    * frame membership follows the ORDER value, not row offsets, so
+    * gaps and same-second ties are handled by definition. Epoch seconds
+    * are floored identically in both engines (`unix_timestamp` /
+    * `epoch_us // 1_000_000`) and the frame is a closed integer
+    * interval, so the 7-day sums hash-match exactly. */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("es")
+      .rangeBetween(-604800L, 0L)
+    ev.withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("user_id", "event_id", "n_7d", "sum_7d")
+      .orderBy("user_id", "event_id")
+  }
+
   // ---------------------------------------------------------------- B28
   /** Global sort (range-partitioned SortExec at scale). */
   def sortGlobal(s: SparkSession, d: String): DataFrame =
@@ -798,6 +818,7 @@ object Relational {
       .orderBy("l_returnflag")),
     "ev_retention"   -> (evRetention(_, _)),
     "win_ntile"      -> (winNtile(_, _)),
+    "win_range_frame" -> (winRangeFrame(_, _)),
     "proj_basic"     -> (projBasic(_, _)),
     "filter_pred"    -> (filterPred(_, _)),
     "join_inner"     -> (joinInner(_, _)),
@@ -1072,6 +1093,16 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n_active
         |FROM act JOIN cohort ON act.user_id = cohort.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "win_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+        |FROM (SELECT user_id, event_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es, value
+        |      FROM events WHERE user_id < 10)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_ntile" ->
       """SELECT o_orderstatus, CAST(q AS INT) AS quartile,
         |  CAST(COUNT(*) AS BIGINT) AS n,
