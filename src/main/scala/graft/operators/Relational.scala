@@ -134,6 +134,33 @@ object Relational {
       .orderBy("dataset_id", "chunk_id")
   }
 
+  /** [[joinRange]]'s 100 TB shape MADE REAL instead of deferred to a
+    * comment: grid-bucket BOTH sides so the range predicate rides an
+    * EQUI-join. Intervals replicate into every bucket they span
+    * (`explode(sequence(...))` — replication factor = interval length /
+    * bucket width, a constant); each point lives in exactly one bucket,
+    * so no pair dedup is needed and the exact predicate re-applies as a
+    * post-filter. Output is IDENTICAL to [[joinRange]] — the oracle is
+    * the plain overlap SQL, proving the bucketed plan computes the same
+    * relation — and PlanSpec pins that no nested-loop join survives. */
+  def joinRangeBucketed(s: SparkSession, d: String): DataFrame = {
+    val bw = 256L
+    val pts = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
+      .select(col("o_orderstatus").as("dataset_id"), col("o_orderkey").as("pt"),
+        expr(s"o_orderkey div $bw").as("bkt"))
+    val ivs = ChunkCatalog.catalog(s, d)
+      .select(col("dataset_id").as("iv_ds"), col("chunk_id"),
+        col("block_start"), col("block_end"))
+      .withColumn("bkt", explode(sequence(
+        expr(s"block_start div $bw"), expr(s"(block_end - 1) div $bw"))))
+    pts.join(ivs,
+        pts("dataset_id") === ivs("iv_ds") && pts("bkt") === ivs("bkt"))
+      .filter(col("block_start") <= col("pt") && col("pt") < col("block_end"))
+      .groupBy("dataset_id", "chunk_id")
+      .agg(count(lit(1)).as("n_pts"), min("pt").as("min_pt"), max("pt").as("max_pt"))
+      .orderBy("dataset_id", "chunk_id")
+  }
+
   // ---------------------------------------------------------------- B18
   /** As-of join: for each purchase event, the most recent signup ts of the
     * same user at-or-before it. Implemented as a union + running
@@ -828,6 +855,7 @@ object Relational {
     "join_anti"      -> (joinAnti(_, _)),
     "join_theta"     -> (joinTheta(_, _)),
     "join_range"     -> (joinRange(_, _)),
+    "join_range_bucketed" -> (joinRangeBucketed(_, _)),
     "join_asof"      -> (joinAsof(_, _)),
     "join_cross"     -> (joinCross(_, _)),
     "agg_basic"      -> (aggBasic(_, _)),
@@ -1173,6 +1201,17 @@ object Relational {
         |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_range" ->
+      s"""${ChunkCatalog.catalogSql}
+         |SELECT p.dataset_id, c.chunk_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+         |       MIN(p.pt) AS min_pt, MAX(p.pt) AS max_pt
+         |FROM (SELECT o_orderstatus AS dataset_id, o_orderkey AS pt
+         |      FROM orders WHERE o_orderkey < 1000) p
+         |JOIN catalog c ON p.dataset_id = c.dataset_id
+         |  AND c.block_start <= p.pt AND p.pt < c.block_end
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical relation to join_range — the bucketed plan must compute
+    // exactly what the plain overlap predicate computes
+    "join_range_bucketed" ->
       s"""${ChunkCatalog.catalogSql}
          |SELECT p.dataset_id, c.chunk_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
          |       MIN(p.pt) AS min_pt, MAX(p.pt) AS max_pt

@@ -209,6 +209,18 @@ class PlanSpec extends SparkSpec {
       s"lateral fell back to a loop join:\n${plan.take(2000)}")
   }
 
+  test("join_range_bucketed: the range predicate rides an equi-join, no loop join") {
+    val df = Relational.joinRangeBucketed(spark, sf)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"bucketed range join degenerated:\n${plan.take(2000)}")
+  }
+
   test("graph_triangles: wedge closure plans as equi-joins, never a loop join") {
     val df = graft.operators.GraphOps.queries("graph_triangles")(spark, sf)
     df.collect()
