@@ -686,6 +686,39 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** [[semDedup]] with the TRAINED cells — the swap the seeded form's
+    * doc promises, demonstrated: identical query shape, centroids read
+    * from the [[ensureTrainedLayout]] build instead of fixed seeds.
+    * Data-distributed cells tighten the within-cell comparison set, and
+    * nothing else changes. Rows-only (trained float centroids are not
+    * DuckDB-reproducible); VectorOpsSpec holds it to the same
+    * min-id-survives / in-cell-witness invariants as the seeded form. */
+  def semDedupTrained(s: SparkSession, d: String): DataFrame = {
+    val layout = ensureTrainedLayout(s, d)
+    val cents = s.read.parquet(s"$layout/centroids")
+    val emb = Tables.embeddings(s, d)
+    val q = kmeansAssign(emb, cents)
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          .as("maxabs"))
+      .select(col("vec_id"), col("cell"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("maxabs") * 127).cast("long"))
+          .as("qv"))
+      .withColumn("nq", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .localCheckpoint()
+    q.as("a").join(q.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_id"),
+        graft.functions.NativeExpressions.dot_product(col("a.qv"), col("b.qv"))
+          .cast("long").as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("na") * col("nb") * 4)
+      .select("cell", "vec_id").distinct()
+      .orderBy("cell", "vec_id")
+  }
+
   /** Vector stats: exact norms and dimension checks per vector subset. */
   def embedStats(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -709,7 +742,8 @@ object VectorOps {
     "llm_semdedup"      -> (semDedup(_, _)),
     "llm_ann_trained"   -> (annIvfTrained(_, _)),
     "llm_ann_pq"        -> (annPq(_, _)),
-    "llm_sim_topk_exec" -> (simSearchExec(_, _))
+    "llm_sim_topk_exec" -> (simSearchExec(_, _)),
+    "llm_semdedup_trained" -> (semDedupTrained(_, _))
   )
 
   /** DuckDB replay of the [[kmeans]] Lloyd fit, unrolled: `rounds`

@@ -243,9 +243,9 @@ class PlanSpec extends SparkSpec {
       "llm_simhash_band",
       "llm_sim_prenorm", "source_binaryfile",
       "llm_embed_lsh", "llm_dedup_groups", "llm_ann_trained",
-      // PQ codebooks are float Lloyd fits — same family as llm_ann_*;
-      // recall + determinism proven in VectorOpsSpec instead
-      "llm_ann_pq",
+      // PQ codebooks / trained-centroid cells are float Lloyd fits —
+      // same family as llm_ann_*; invariants proven in VectorOpsSpec
+      "llm_ann_pq", "llm_semdedup_trained",
       // BPE encode applies a TRAINED merge list sequentially per word —
       // the greedy left-to-right fold over learned ranks has no DuckDB
       // SQL equivalent; TextOpsSpec checks it against a driver

@@ -172,6 +172,20 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("semDedupTrained: same invariants as seeded form under trained cells") {
+    val layout = VectorOps.ensureTrainedLayout(spark, sf)
+    val cents = spark.read.parquet(s"$layout/centroids")
+    val cellMin = VectorOps.kmeansAssign(Tables.embeddings(spark, sf), cents)
+      .groupBy("cell").agg(min("vec_id").as("mn"))
+      .as[(Long, Long)].collect().toMap
+    val dropped = VectorOps.semDedupTrained(spark, sf).as[(Long, Long)].collect()
+    assert(dropped.nonEmpty)
+    dropped.foreach { case (cell, id) =>
+      assert(id > cellMin(cell),
+        s"dropped $id is (or precedes) cell $cell's representative ${cellMin(cell)}")
+    }
+  }
+
   test("CosineTopKExec: custom operator is planned and matches the window form bit-for-bit") {
     val df = VectorOps.simSearchExec(spark, sf)
     val rows = df.select("query_id", "rank", "neighbor_id", "sim")
