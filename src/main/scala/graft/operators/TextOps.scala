@@ -916,6 +916,106 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate stripping — the OTHER half of the CCNet/RefinedWeb
+    * sub-document story. [[dedupChunks]] keeps a duplicated chunk's
+    * FIRST occurrence; boilerplate removal deletes a repeated chunk
+    * EVERYWHERE, because a paragraph that recurs across distinct
+    * documents of the same `source` (nav bars, cookie banners, license
+    * headers) is template noise, not content. Repeated := appears in
+    * ≥ 2 distinct docs within one source; paragraph := the same
+    * 10-word chunking as [[dedupChunks]].
+    *
+    * Scale shape: the frequency count groups (source, md5) 16-byte
+    * keys only — chunk text is projected away before that exchange.
+    * The boilerplate key set is then BROADCAST back against the
+    * chunks: by construction it is bounded by (distinct templates per
+    * source), the same "frequent item" smallness that makes
+    * [[heavyWordsOf]]'s sketch work — at 100 TB one would cap it with
+    * the same Misra-Gries pass; at any scale it is orders of magnitude
+    * smaller than the corpus. Chunk text itself crosses exactly the
+    * two exchanges reassembly forces: words→chunks ((doc_id, chunk)
+    * keys) and chunks→docs (doc_id keys). Docs reduced to pure
+    * boilerplate are dropped, matching the oracle's HAVING. */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame =
+    boilerplateOf(Tables.documents(s, d))
+
+  /** [[boilerplateStrip]] body over any (doc_id, source, text) frame —
+    * split out so the spec can pin the semantics on a constructed
+    * corpus (cross-source immunity, all-boilerplate doc dropped). */
+  def boilerplateOf(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "source", "pos", "word")
+      .withColumn("chunk", floor(col("pos") / 10))
+      .groupBy("doc_id", "source", "chunk")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("chunk_text"))
+      .withColumn("key", md5(col("chunk_text")))
+    val boiler = chunks
+      .select("source", "key", "doc_id") // drop text BEFORE the shuffle
+      .groupBy("source", "key")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("source"), col("key"), lit(true).as("boiler"))
+    chunks.join(broadcast(boiler), Seq("source", "key"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the nulls `when` leaves on boilerplate chunks
+        md5(array_join(
+          transform(array_sort(collect_list(
+            when(col("boiler").isNull, struct(col("chunk"), col("chunk_text"))))),
+            x => x.getField("chunk_text")), " ")).as("clean_md5"))
+      .filter(col("n_removed") < col("n_chunks"))
+      .select("doc_id", "n_chunks", "n_removed", "clean_md5")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    * Models", table A1) adapted to this corpus's vocabulary: the
+    * published filter is a CONJUNCTION of named per-document rules,
+    * and a pipeline operator must report WHICH rule fired, not just a
+    * boolean — that per-rule attribution is what lets a curator tune
+    * thresholds without re-running the corpus. Rules kept (the
+    * symbol/alpha-ratio rules are vacuous on this all-alphabetic
+    * synthetic corpus and are documented out):
+    *   words    — 50 ≤ word count ≤ 100 000
+    *   wordlen  — 3 ≤ mean word length ≤ 10
+    *   stop     — ≥ 2 distinct corpus stop-words present
+    *   topword  — most frequent word ≤ 20 % of the document
+    * Pure per-row projection (one scan, no shuffle, codegen'd
+    * higher-order functions) — the 100 TB shape is "free". */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    gopherOf(Tables.documents(s, d))
+
+  /** [[gopherRules]] body over any (doc_id, text) frame — split out so
+    * the spec can fail each rule in isolation on constructed docs. */
+  def gopherOf(docs: DataFrame): DataFrame = {
+    val stops = Seq("the", "a", "data", "row")
+    val w = words(col("text"))
+    val m = docs
+      .select(col("doc_id"),
+        size(w).as("n_words"),
+        round((length(col("text")) - size(w) + 1).cast("double") / size(w), 4)
+          .as("mean_word_len"),
+        size(filter(array(stops.map(lit): _*),
+          x => array_contains(w, x))).as("stop_hits"),
+        round(array_max(transform(array_distinct(w),
+          x => size(filter(w, y => y === x)))).cast("double") / size(w), 4)
+          .as("top_word_frac"))
+    m.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("stop_hits"), col("top_word_frac"),
+        concat_ws(",",
+          when(!col("n_words").between(50, 100000), "words"),
+          when(!col("mean_word_len").between(3.0, 10.0), "wordlen"),
+          when(col("stop_hits") < 2, "stop"),
+          when(col("top_word_frac") > 0.2, "topword")).as("failed"))
+      .withColumn("keep", col("failed") === "")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- fuzzy (edit-distance) join
   /** Every name-key for edit-distance-1 blocking: the string itself plus
     * each delete-one-character variant. Two strings within Levenshtein
@@ -1078,7 +1178,9 @@ object TextOps {
     "llm_repetition"    -> (repetitionFilter(_, _)),
     "llm_scrub"         -> (scrubDenylist(_, _)),
     "llm_perplexity"    -> (perplexity(_, _)),
-    "llm_shard"         -> (shardManifest(_, _))
+    "llm_shard"         -> (shardManifest(_, _)),
+    "llm_boilerplate"   -> (boilerplateStrip(_, _)),
+    "llm_gopher"        -> (gopherRules(_, _))
   )
 
   private val tokCte =
@@ -1164,6 +1266,56 @@ object TextOps {
         |SELECT kept.doc_id, n_chunks, kept_chunks, clean_md5
         |FROM kept JOIN tot ON kept.doc_id = tot.doc_id
         |ORDER BY kept.doc_id""".stripMargin,
+    "llm_boilerplate" ->
+      """WITH lists AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, source, unnest(ws) AS word,
+        |    unnest(range(len(ws))) AS pos
+        |  FROM lists),
+        |chunks AS (
+        |  SELECT doc_id, source, pos // 10 AS chunk,
+        |    string_agg(word, ' ' ORDER BY pos) AS chunk_text
+        |  FROM words GROUP BY doc_id, source, pos // 10),
+        |boiler AS (
+        |  SELECT source, md5(chunk_text) AS key
+        |  FROM chunks GROUP BY source, md5(chunk_text)
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |marked AS (
+        |  SELECT c.doc_id, c.chunk, c.chunk_text,
+        |    b.key IS NOT NULL AS boiler
+        |  FROM chunks c LEFT JOIN boiler b
+        |    ON c.source = b.source AND md5(c.chunk_text) = b.key)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(string_agg(CASE WHEN NOT boiler THEN chunk_text END,
+        |      ' ' ORDER BY chunk)) AS clean_md5
+        |FROM marked GROUP BY doc_id
+        |HAVING SUM(CASE WHEN boiler THEN 1 ELSE 0 END) < COUNT(*)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+        |    round((nc - len(w) + 1.0) / len(w), 4) AS mean_word_len,
+        |    CAST(len(list_filter(['the', 'a', 'data', 'row'],
+        |      s -> list_contains(w, s))) AS INT) AS stop_hits,
+        |    round(CAST(list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w), 4)
+        |      AS top_word_frac
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_frac,
+        |  concat_ws(',',
+        |    CASE WHEN n_words NOT BETWEEN 50 AND 100000 THEN 'words' END,
+        |    CASE WHEN mean_word_len NOT BETWEEN 3.0 AND 10.0 THEN 'wordlen' END,
+        |    CASE WHEN stop_hits < 2 THEN 'stop' END,
+        |    CASE WHEN top_word_frac > 0.2 THEN 'topword' END) AS failed,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND stop_hits >= 2 AND top_word_frac <= 0.2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |m AS (

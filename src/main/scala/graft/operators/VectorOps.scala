@@ -729,6 +729,57 @@ object VectorOps {
         max(size(col("embedding"))).as("max_dim"))
       .orderBy("label")
 
+  /** Johnson-Lindenstrauss random projection, 64 → 8 dims — the standard
+    * cheap-ANN preprocessing step (project once, then search/cluster in
+    * the small space; JL bounds the pairwise-distance distortion). The
+    * projection matrix is ±1 signs (Achlioptas 2001 — sign matrices
+    * satisfy JL and need no float matrix at all) derived from
+    * md5("i_j"), so every engine, executor, and re-run materializes the
+    * IDENTICAL matrix from nothing: no fit, no broadcast state, no
+    * layout cache. The signs are baked into the plan as literals; the
+    * whole op is a per-row codegen'd fold — zero shuffles, "free" at
+    * 100 TB. Both engines fold the 64 products strictly left-to-right
+    * in double precision, so the output is bit-reproducible and the
+    * DuckDB oracle hash-matches (same cross-engine-exactness trick as
+    * [[lloydOracle]]). */
+  def randProject(s: SparkSession, d: String): DataFrame =
+    randProjectOf(Tables.embeddings(s, d), dIn = 64, kOut = 8)
+
+  /** The md5-derived ±1 sign, exposed for the spec's independent check. */
+  def rpSign(i: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_$j".getBytes("UTF-8"))
+    // first hex char of the digest: high nibble of byte 0 in 0..7 → +1
+    if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** [[randProject]] body over any (vec_id, embedding) frame. */
+  def randProjectOf(emb: DataFrame, dIn: Int, kOut: Int): DataFrame = {
+    val projCols = (0 until kOut).map { j =>
+      val signs = array((0 until dIn).map(i => lit(rpSign(i, j))): _*)
+      round(aggregate(
+        zip_with(col("embedding"), signs, (x, sg) => x.cast("double") * sg),
+        lit(0.0), (a, v) => a + v), 4).as(s"p$j")
+    }
+    emb.select(col("vec_id") +: projCols: _*)
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB replay of [[randProject]]: same md5-derived sign matrix
+    * (md5 agrees across engines), same left-to-right double fold. */
+  private def randProjOracle(dIn: Int, kOut: Int): String = {
+    val cols = (0 until kOut).map { j =>
+      s"""  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, $dIn),
+         |      i -> CAST(embedding[i] AS DOUBLE) *
+         |        (CASE WHEN substring(md5((i - 1) || '_$j'), 1, 1)
+         |              BETWEEN '0' AND '7'
+         |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
+         |    (a, x) -> a + x), 4) AS p$j""".stripMargin
+    }
+    s"SELECT vec_id,\n${cols.mkString(",\n")}\nFROM embeddings ORDER BY vec_id"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_search"    -> (simSearch(_, _)),
     "llm_ann_ivf"       -> (annIvf(_, _)),
@@ -743,7 +794,8 @@ object VectorOps {
     "llm_ann_trained"   -> (annIvfTrained(_, _)),
     "llm_ann_pq"        -> (annPq(_, _)),
     "llm_sim_topk_exec" -> (simSearchExec(_, _)),
-    "llm_semdedup_trained" -> (semDedupTrained(_, _))
+    "llm_semdedup_trained" -> (semDedupTrained(_, _)),
+    "llm_rand_proj"     -> (randProject(_, _))
   )
 
   /** DuckDB replay of the [[kmeans]] Lloyd fit, unrolled: `rounds`
@@ -787,6 +839,7 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "llm_kmeans" -> lloydOracle(k = 8, rounds = 5),
+    "llm_rand_proj" -> randProjOracle(dIn = 64, kOut = 8),
     "llm_centroid" ->
       """WITH ex AS (
         |  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x

@@ -348,4 +348,48 @@ class TextOpsSpec extends SparkSpec {
         s"span ($ia,$ib,$pa,$pb) extends right")
     }
   }
+
+  test("boilerplate: repeats removed per-source, cross-source immune, all-boiler doc dropped") {
+    val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one exact chunk
+    val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", s"$boiler $uniq"),              // boiler + unique
+      (2L, "srcA", s"$boiler ${uniq.toUpperCase}"), // boiler + other unique
+      (3L, "srcB", s"$boiler $uniq"),               // same chunk, OTHER source
+      (4L, "srcA", boiler)                          // pure boilerplate
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.boilerplateOf(docs)
+      .select("doc_id", "n_chunks", "n_removed")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    // srcA: chunk appears in docs 1,2,4 → removed from all three
+    assert(out(1L) == (2L, 1L))
+    assert(out(2L) == (2L, 1L))
+    // srcB never repeats the chunk within ITS source → untouched
+    assert(out(3L) == (2L, 0L))
+    // doc 4 reduced to nothing → dropped like the oracle's HAVING
+    assert(!out.contains(4L))
+  }
+
+  test("gopher rules: each rule fails in isolation; attribution names it") {
+    // 60 varied 4-char words incl. 2 stopwords — passes everything
+    def body(n: Int) = (1 to n).map(i => f"w$i%03d").mkString(" ")
+    val docs = Seq(
+      (1L, s"the a ${body(58)}"),                       // pass
+      (2L, s"the a ${body(8)}"),                        // <50 words
+      (3L, s"the a ${ // 58 DISTINCT 2-char words: mean len < 3, topword ok
+        (for (a <- 'a' to 'h'; b <- 'a' to 'h') yield s"$a$b").take(58).mkString(" ")}"),
+      (4L, body(60)),                                   // no stopwords
+      (5L, s"the a ${body(43)} ${(1 to 15).map(_ => "zzzz").mkString(" ")}")
+    ).toDF("doc_id", "text")                            // topword 15/60 = 0.25
+    val out = TextOps.gopherOf(docs)
+      .select("doc_id", "failed", "keep")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (k, f, p) => k -> (f, p) }.toMap
+    assert(out(1L) == ("", true))
+    assert(out(2L) == ("words", false))
+    assert(out(3L) == ("wordlen", false))
+    assert(out(4L) == ("stop", false))
+    assert(out(5L) == ("topword", false))
+  }
 }

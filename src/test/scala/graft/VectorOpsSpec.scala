@@ -250,4 +250,33 @@ class VectorOpsSpec extends SparkSpec {
       .select("m", "cell").as[(Int, Int)].collect()
     assert(cents.forall { case (m, c) => m >= 0 && m < 4 && c >= 0 && c < 16 })
   }
+
+  test("rand proj: basis vectors read the sign matrix back out; linearity holds") {
+    val d = 8
+    // e_i projects to exactly (sign(i,0), ..., sign(i,k-1))
+    val basis = (0 until d).map { i =>
+      (i.toLong, Array.tabulate(d)(x => if (x == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val proj = VectorOps.randProjectOf(basis, dIn = d, kOut = 4)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    proj.foreach { case (i, p0, p1, p2, p3) =>
+      val exp = (0 until 4).map(j => VectorOps.rpSign(i.toInt, j))
+      assert(Seq(p0, p1, p2, p3) == exp, s"e_$i read ${Seq(p0, p1, p2, p3)}")
+    }
+    // signs are balanced enough to be a real matrix, not all-ones
+    val flat = (0 until d).flatMap(i => (0 until 4).map(j => VectorOps.rpSign(i, j)))
+    assert(flat.contains(1.0) && flat.contains(-1.0))
+    // linearity: proj(a + b) == proj(a) + proj(b) (exact for ±1 signs
+    // up to the output rounding)
+    val a = Array.tabulate(d)(x => (x + 1).toFloat)
+    val b = Array.tabulate(d)(x => (2 * x - 3).toFloat)
+    val ab = Array.tabulate(d)(x => a(x) + b(x))
+    val three = Seq((0L, a), (1L, b), (2L, ab)).toDF("vec_id", "embedding")
+    val rows = VectorOps.randProjectOf(three, dIn = d, kOut = 4)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    (0 until 4).foreach { j =>
+      assert(math.abs(rows(0L)(j) + rows(1L)(j) - rows(2L)(j)) < 1e-3)
+    }
+  }
 }
