@@ -305,6 +305,54 @@ object Relational {
       .orderBy("user_id", "bucket")
   }
 
+  /** Gap fill by LINEAR INTERPOLATION — [[tsGapfill]]'s LOCF holds the
+    * last observation flat; interpolation draws the line between the
+    * surrounding observed buckets (the standard choice for sampled
+    * continuous signals). Same grid; two windows per user (running
+    * last-observed before, first-observed after) instead of one;
+    * leading/trailing gaps fall back to nearest-observed, empty users
+    * to 0. The interpolation arithmetic is ordered identically in both
+    * engines (pv + (nv−pv)·Δt/Δtotal, doubles, round 4) so the oracle
+    * hash-matches. Scale shape: the grid is (users × buckets) metadata,
+    * orders smaller than events; both windows ride ONE user_id-keyed
+    * exchange (same partitioning, consecutive window specs). */
+  def tsInterpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+    val bounds = ev.agg(
+      timestamp_seconds(expr("unix_timestamp(min(ts)) div 14400") * 14400).as("lo"),
+      timestamp_seconds(expr("unix_timestamp(max(ts)) div 14400") * 14400).as("hi"))
+    val grid = bounds.select(explode(sequence(
+        col("lo"), col("hi"), expr("INTERVAL 4 HOURS"))).as("bucket"))
+      .crossJoin(ev.select(col("user_id")).distinct())
+    val actual = ev
+      .groupBy(col("user_id"),
+        window(col("ts"), "4 hours").getField("start").as("bucket"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val pre = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val post = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("sum_value"), ignoreNulls = true).over(pre)
+    val pb = last(when(col("sum_value").isNotNull, col("bucket")),
+      ignoreNulls = true).over(pre)
+    val nv = first(col("sum_value"), ignoreNulls = true).over(post)
+    val nb = first(when(col("sum_value").isNotNull, col("bucket")),
+      ignoreNulls = true).over(post)
+    grid.join(actual, Seq("user_id", "bucket"), "left_outer")
+      .select(col("user_id"), col("bucket"),
+        col("sum_value").isNotNull.as("observed"),
+        round(
+          when(col("sum_value").isNotNull, col("sum_value"))
+            .when(pv.isNotNull && nv.isNotNull,
+              pv + (nv - pv) *
+                (unix_timestamp(col("bucket")) - unix_timestamp(pb)).cast("double") /
+                (unix_timestamp(nb) - unix_timestamp(pb)).cast("double"))
+            .when(pv.isNotNull, pv)
+            .when(nv.isNotNull, nv)
+            .otherwise(lit(0.0)), 4).as("filled_value"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** Equi-width histogram (10 cent-exact price buckets × return flag).
     * The bucket id is INTEGER arithmetic on cents — `round(price·100)`
     * is exact for 2-decimal data, so engines cannot disagree on a bucket
@@ -834,6 +882,7 @@ object Relational {
     "set_ops_all"    -> (setOpsAll(_, _)),
     "ts_resample"    -> (tsResample(_, _)),
     "ts_gapfill"     -> (tsGapfill(_, _)),
+    "ts_interpolate" -> (tsInterpolate(_, _)),
     "agg_histogram"  -> (aggHistogram(_, _)),
     "ev_funnel"      -> (evFunnel(_, _)),
     "dq_checks"      -> (dqChecks(_, _)),
@@ -1073,6 +1122,52 @@ object Relational {
         |    PARTITION BY user_id ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
         |FROM j ORDER BY user_id, bucket""".stripMargin,
+    "ts_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE user_id < 10),
+        |b AS (
+        |  SELECT CAST(to_timestamp((CAST(epoch(min(ts)) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS lo,
+        |         CAST(to_timestamp((CAST(epoch(max(ts)) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS hi
+        |  FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, g.bucket
+        |  FROM (SELECT DISTINCT user_id FROM ev) u,
+        |       (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+        |                                      INTERVAL 4 HOUR)) AS bucket) g),
+        |actual AS (
+        |  SELECT user_id,
+        |    CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY 1, 2),
+        |j AS (
+        |  SELECT grid.user_id, grid.bucket, actual.sum_value
+        |  FROM grid LEFT JOIN actual
+        |    ON grid.user_id = actual.user_id AND grid.bucket = actual.bucket),
+        |w AS (
+        |  SELECT user_id, bucket, sum_value,
+        |    last_value(sum_value IGNORE NULLS) OVER pre AS pv,
+        |    last_value(CASE WHEN sum_value IS NOT NULL THEN bucket END IGNORE NULLS)
+        |      OVER pre AS pb,
+        |    first_value(sum_value IGNORE NULLS) OVER post AS nv,
+        |    first_value(CASE WHEN sum_value IS NOT NULL THEN bucket END IGNORE NULLS)
+        |      OVER post AS nb
+        |  FROM j
+        |  WINDOW pre AS (PARTITION BY user_id ORDER BY bucket
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         post AS (PARTITION BY user_id ORDER BY bucket
+        |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket, sum_value IS NOT NULL AS observed,
+        |  round(CASE
+        |    WHEN sum_value IS NOT NULL THEN sum_value
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) *
+        |        CAST(CAST(epoch(bucket) AS BIGINT) - CAST(epoch(pb) AS BIGINT) AS DOUBLE)
+        |        / CAST(CAST(epoch(nb) AS BIGINT) - CAST(epoch(pb) AS BIGINT) AS DOUBLE)
+        |    WHEN pv IS NOT NULL THEN pv
+        |    WHEN nv IS NOT NULL THEN nv
+        |    ELSE 0.0 END, 4) AS filled_value
+        |FROM w ORDER BY user_id, bucket""".stripMargin,
     "skew_salted_agg" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum
