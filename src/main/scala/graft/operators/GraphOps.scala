@@ -283,15 +283,112 @@ object GraphOps {
       .orderBy("cluster_size")
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007): each round every node adopts its neighborhood's MOST
+    * FREQUENT label — where [[connectedComponents]]' min-label collapses
+    * whole components, frequency voting splits a component into dense
+    * regions. Ties break (count desc, label asc) and updates are
+    * synchronous with a FIXED round count, which makes the otherwise
+    * notoriously nondeterministic algorithm exactly reproducible — the
+    * DuckDB oracle replays the rounds as unrolled CTEs and hash-matches.
+    * Per round the shuffle carries (node, label, count) triples — the
+    * same bounded (never payload-bearing) shape as the other iterative
+    * graph ops — and each round localCheckpoints to cut lineage. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val freq = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(sym("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = freq.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("node")
+            .orderBy(col("cnt").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl").as("cand"))
+      val next = labels.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("cand"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
+  /** Communities of the exact-Jaccard doc graph (same graph as
+    * [[dedupClusters]]), 3 synchronous rounds. */
+  def communitiesDocs(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id").as("node"))
+    val edges = TextOps.jaccardPairs(s, d, 150)
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = labelPropagation(nodes, edges, rounds = 3)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_cc"     -> (dedupClusters(_, _)),
     "llm_dedup_groups" -> (dedupGroups(_, _)),
     "graph_pagerank"   -> (pageRankDocs(_, _)),
     "graph_triangles"  -> (triangleCount(_, _)),
-    "graph_kcore"      -> (kCoreDocs(_, _))
+    "graph_kcore"      -> (kCoreDocs(_, _)),
+    "graph_communities" -> (communitiesDocs(_, _))
   )
 
+  /** DuckDB replay of [[communitiesDocs]]: the llm_dedup_cc shingle
+    * graph prefix + `rounds` unrolled frequency-vote rounds with the
+    * identical (count desc, label asc) tie-break. */
+  private def lpaOracle(rounds: Int): String = {
+    val prefix =
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.02),
+        |sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+        |nodes AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 150),
+        |l0 AS (SELECT node, node AS lbl FROM nodes)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""f$r AS (SELECT s.dst AS node, l.lbl, COUNT(*) AS cnt
+         |  FROM sym s JOIN l${r - 1} l ON s.src = l.node GROUP BY s.dst, l.lbl),
+         |p$r AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, lbl) AS rn FROM f$r) WHERE rn = 1),
+         |l$r AS (SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
+         |  FROM l${r - 1} l LEFT JOIN p$r p ON l.node = p.node)""".stripMargin
+    }
+    s"""$prefix,
+       |${roundCtes.mkString(",\n")},
+       |cs AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+       |  FROM l$rounds GROUP BY lbl)
+       |SELECT l.node AS doc_id, l.lbl AS community, cs.community_size
+       |FROM l$rounds l JOIN cs ON l.lbl = cs.lbl ORDER BY l.node""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "graph_communities" -> lpaOracle(rounds = 3),
     "llm_dedup_cc" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id, sh FROM (

@@ -20,6 +20,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc(12L) == 12L)
   }
 
+  test("frequency-vote LPA: triangles converge to min id; sync pair oscillation pinned") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("node")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),     // triangle A
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle B
+      (20L, 21L)                          // bare pair
+    ).toDF("src", "dst")
+    def run(r: Int) = GraphOps.labelPropagation(nodes, edges, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val l3 = run(3)
+    // each triangle is a dense region converging to its min id
+    Seq(1L, 2L, 3L).foreach(n => assert(l3(n) == 1L, s"node $n"))
+    Seq(10L, 11L, 12L).foreach(n => assert(l3(n) == 10L, s"node $n"))
+    // isolated node keeps its own label
+    assert(l3(30L) == 30L)
+    // synchronous updates make a bare pair OSCILLATE (the textbook sync-LPA
+    // artifact): odd round counts leave the labels swapped, even ones
+    // restore them. Pinned, because the oracle replays exactly this.
+    assert(l3(20L) == 21L && l3(21L) == 20L)
+    val l2 = run(2)
+    assert(l2(20L) == 20L && l2(21L) == 21L)
+  }
+
   test("convergence piggybacks on the round job: d+1 rounds, one job per round") {
     val nodes = (0L to 12L).toDF("node")
     val edges = Seq(
