@@ -925,17 +925,16 @@ object TextOps {
     * ≥ 2 distinct docs within one source; paragraph := the same
     * 10-word chunking as [[dedupChunks]].
     *
-    * Scale shape: the frequency count groups (source, md5) 16-byte
-    * keys only — chunk text is projected away before that exchange.
-    * The boilerplate key set is then BROADCAST back against the
-    * chunks: by construction it is bounded by (distinct templates per
-    * source), the same "frequent item" smallness that makes
-    * [[heavyWordsOf]]'s sketch work — at 100 TB one would cap it with
-    * the same Misra-Gries pass; at any scale it is orders of magnitude
-    * smaller than the corpus. Chunk text itself crosses exactly the
-    * two exchanges reassembly forces: words→chunks ((doc_id, chunk)
-    * keys) and chunks→docs (doc_id keys). Docs reduced to pure
-    * boilerplate are dropped, matching the oracle's HAVING. */
+    * Scale shape: ONE scan, three exchanges. A two-branch form
+    * (aggregate the boiler keys, broadcast-join them back) recomputes
+    * the whole explode+assembly on both branches — measured in the
+    * plan, the chunk text crossed the words→chunks exchange twice —
+    * so instead the repeat decision rides a (source, key) window over
+    * the SAME assembled chunks: text crosses words→chunks
+    * ((doc_id, chunk) keys), chunks→(source, 16-byte md5) for the
+    * vote, and →doc_id for reassembly, each once, nothing computed
+    * twice, no driver state. Docs reduced to pure boilerplate are
+    * dropped, matching the oracle's HAVING. */
   def boilerplateStrip(s: SparkSession, d: String): DataFrame =
     boilerplateOf(Tables.documents(s, d))
 
@@ -953,20 +952,15 @@ object TextOps {
         transform(array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")), " ").as("chunk_text"))
       .withColumn("key", md5(col("chunk_text")))
-    val boiler = chunks
-      .select("source", "key", "doc_id") // drop text BEFORE the shuffle
-      .groupBy("source", "key")
-      .agg(countDistinct("doc_id").as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select(col("source"), col("key"), lit(true).as("boiler"))
-    chunks.join(broadcast(boiler), Seq("source", "key"), "left")
-      .groupBy("doc_id")
+    val marked = chunks.withColumn("n_docs",
+      size(collect_set(col("doc_id")).over(Window.partitionBy("source", "key"))))
+    marked.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_removed"),
         // collect_list skips the nulls `when` leaves on boilerplate chunks
         md5(array_join(
           transform(array_sort(collect_list(
-            when(col("boiler").isNull, struct(col("chunk"), col("chunk_text"))))),
+            when(col("n_docs") < 2, struct(col("chunk"), col("chunk_text"))))),
             x => x.getField("chunk_text")), " ")).as("clean_md5"))
       .filter(col("n_removed") < col("n_chunks"))
       .select("doc_id", "n_chunks", "n_removed", "clean_md5")
