@@ -129,12 +129,43 @@ object ChunkCatalog {
       .orderBy("dataset_id", "block_start")
   }
 
+  /** Compaction PLANNER — the planning phase of Delta `OPTIMIZE` /
+    * Iceberg `rewrite_data_files`, and the maintenance the reference's
+    * quota daemon implies but never built (its cap check is the
+    * admission half, /root/reference/src/data_manager.rs:229-239; a
+    * real lake worker must also merge the small files the cap admits).
+    * Greedy packing of block-ADJACENT chunks (order by block_start so
+    * merged files keep contiguous ranges and the range index stays
+    * prunable) into ≈ total/8 target-size groups per dataset. All
+    * integer arithmetic (running sum, `div`) so both engines agree
+    * exactly. Scale: one window + one aggregate over catalog METADATA
+    * — the planner never touches chunk payloads; the rewrite it emits
+    * is embarrassingly parallel per group. */
+  def chunkCompact(spark: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy("dataset_id").orderBy("block_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    catalog(spark, dir)
+      .withColumn("cum", sum("size_bytes").over(run))
+      .withColumn("target",
+        greatest(expr("SUM(size_bytes) OVER (PARTITION BY dataset_id) div 8"),
+          lit(1L)))
+      .withColumn("group_id",
+        expr("(cum - size_bytes) div target").cast("int"))
+      .groupBy("dataset_id", "group_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("size_bytes").as("total_bytes"),
+        min("block_start").as("block_start"),
+        max("block_end").as("block_end"))
+      .orderBy("dataset_id", "group_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "chunk_list"   -> (chunkList(_, _)),
-    "chunk_find"   -> (chunkFind(_, _)),
-    "chunk_delete" -> (chunkDelete(_, _)),
-    "chunk_quota"  -> (chunkQuota(_, _)),
-    "chunk_dedup"  -> (chunkDedup(_, _))
+    "chunk_list"    -> (chunkList(_, _)),
+    "chunk_find"    -> (chunkFind(_, _)),
+    "chunk_delete"  -> (chunkDelete(_, _)),
+    "chunk_quota"   -> (chunkQuota(_, _)),
+    "chunk_dedup"   -> (chunkDedup(_, _)),
+    "chunk_compact" -> (chunkCompact(_, _))
   )
 
   def oracles: Map[String, String] = Map(
@@ -168,6 +199,21 @@ object ChunkCatalog {
          |SELECT dataset_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_ingested,
          |       MIN(block_start) AS block_start, MIN(size_bytes) AS size_bytes
          |FROM (SELECT * FROM catalog UNION ALL SELECT * FROM catalog)
-         |GROUP BY dataset_id, chunk_id ORDER BY dataset_id, block_start""".stripMargin
+         |GROUP BY dataset_id, chunk_id ORDER BY dataset_id, block_start""".stripMargin,
+    "chunk_compact" ->
+      s"""$catalogSql
+         |SELECT dataset_id, group_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+         |       MIN(block_start) AS block_start, MAX(block_end) AS block_end
+         |FROM (
+         |  SELECT dataset_id, block_start, block_end, size_bytes,
+         |    CAST((cum - size_bytes) // target AS INT) AS group_id
+         |  FROM (
+         |    SELECT dataset_id, block_start, block_end, size_bytes,
+         |      SUM(size_bytes) OVER (PARTITION BY dataset_id ORDER BY block_start
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |      GREATEST(SUM(size_bytes) OVER (PARTITION BY dataset_id) // 8, 1) AS target
+         |    FROM catalog))
+         |GROUP BY dataset_id, group_id ORDER BY dataset_id, group_id""".stripMargin
   )
 }

@@ -1010,6 +1010,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PMI co-occurrence — the classic corpus-statistics kernel
+    * (collocation mining, word-vector objectives): for unordered word
+    * pairs co-occurring within a ±2 window,
+    * pmi = ln(p(a,b) / (p(a)·p(b))). Pair generation is MAP-ONLY
+    * (per-row array shift via `transform` + `get`, no positional
+    * self-join); the shuffle then carries (pair, count) partials —
+    * the same bounded open-vocabulary shape as [[bigrams]]. Word
+    * totals broadcast back (vocab-sized, like [[tfidf]]'s df join).
+    * The PMI expression is ordered identically in both engines
+    * (left-assoc double chain, ln, round 4) and the top-20 sort key
+    * is the ROUNDED pmi + pair tiebreak, so ordering agrees exactly. */
+  def cooccurPmi(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w"))
+    val wcol = col("w")
+    def shifted(k: Int) =
+      transform(wcol, (x, i) => struct(x.as("a"), get(wcol, i + k).as("b")))
+    val pairs = toks
+      .select(explode(concat(shifted(1), shifted(2))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .select(least(col("p.a"), col("p.b")).as("w1"),
+        greatest(col("p.a"), col("p.b")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val wc = toks.select(explode(wcol).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val np = pairs.agg(sum("c_ab").as("np"))
+    val nw = wc.agg(sum("c").as("nw"))
+    pairs
+      .join(broadcast(wc.select(col("word").as("w1"), col("c").as("ca"))), "w1")
+      .join(broadcast(wc.select(col("word").as("w2"), col("c").as("cb"))), "w2")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nw))
+      .filter(col("c_ab") >= 5)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("nw") * col("nw")
+          / col("np") / col("ca") / col("cb")), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   // ------------------------------------------------- fuzzy (edit-distance) join
   /** Every name-key for edit-distance-1 blocking: the string itself plus
     * each delete-one-character variant. Two strings within Levenshtein
@@ -1174,7 +1212,8 @@ object TextOps {
     "llm_perplexity"    -> (perplexity(_, _)),
     "llm_shard"         -> (shardManifest(_, _)),
     "llm_boilerplate"   -> (boilerplateStrip(_, _)),
-    "llm_gopher"        -> (gopherRules(_, _))
+    "llm_gopher"        -> (gopherRules(_, _)),
+    "llm_pmi"           -> (cooccurPmi(_, _))
   )
 
   private val tokCte =
@@ -1287,6 +1326,27 @@ object TextOps {
         |FROM marked GROUP BY doc_id
         |HAVING SUM(CASE WHEN boiler THEN 1 ELSE 0 END) < COUNT(*)
         |ORDER BY doc_id""".stripMargin,
+    "llm_pmi" ->
+      """WITH lists AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+        |  FROM lists),
+        |rawp AS (
+        |  SELECT least(a.word, b.word) AS w1, greatest(a.word, b.word) AS w2
+        |  FROM words a JOIN words b ON a.doc_id = b.doc_id
+        |    AND (b.pos - a.pos = 1 OR b.pos - a.pos = 2)),
+        |pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM rawp GROUP BY 1, 2),
+        |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1),
+        |np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS np FROM pc),
+        |nw AS (SELECT CAST(SUM(c) AS BIGINT) AS nw FROM wc)
+        |SELECT w1, w2, c_ab,
+        |  round(ln(CAST(c_ab AS DOUBLE) * nw * nw / np / ca / cb), 4) AS pmi
+        |FROM (SELECT pc.w1, pc.w2, pc.c_ab, a.c AS ca, b.c AS cb
+        |      FROM pc JOIN wc a ON pc.w1 = a.word
+        |      JOIN wc b ON pc.w2 = b.word), np, nw
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "llm_gopher" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nc
