@@ -806,6 +806,43 @@ object Relational {
     * sketch variant that is the real 100 TB shape.) Min/max stringified
     * through deterministic casts (ints, decimals, dates) — never raw
     * doubles. */
+  /** Distribution-drift detection by Population Stability Index — the
+    * monitoring half of data quality: [[profileTable]] snapshots ONE
+    * table; drift compares TWO snapshots' distributions
+    * (psi = Σ_bins (p−q)·ln(p/q); > 0.1 flags a shifted pipeline
+    * upstream). Baseline vs current is simulated by odd/even order key
+    * — stand-ins for yesterday's and today's partition of the same
+    * feed. One numeric column (equal-width integer-floored bins) and
+    * one categorical (categories ARE the bins) profile through the
+    * same (col, bin, side) rollup. Laplace +1 smoothing keeps empty
+    * bins finite. Per-bin contributions round to 8 decimals and sum
+    * as DECIMAL — the [[aggStats]]/perplexity float discipline: the
+    * cross-bin sum must not depend on partial-aggregation order.
+    * Scale: one scan, one (col, bin) rollup, broadcast totals. */
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).withColumn("side", col("o_orderkey") % 2)
+    val bins = o.select(lit("o_totalprice").as("col_name"),
+        least(floor(col("o_totalprice") / 50000), lit(9L)).cast("string").as("bin"),
+        col("side"))
+      .unionByName(o.select(lit("o_orderpriority").as("col_name"),
+        col("o_orderpriority").as("bin"), col("side")))
+    val counts = bins.groupBy("col_name", "bin")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("base_c"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cur_c"))
+    val tot = counts.groupBy("col_name")
+      .agg(sum("base_c").as("bn"), sum("cur_c").as("cn"), count(lit(1)).as("k"))
+    val p = (col("base_c") + 1).cast("double") / (col("bn") + col("k"))
+    val q = (col("cur_c") + 1).cast("double") / (col("cn") + col("k"))
+    counts.join(broadcast(tot), "col_name")
+      .select(col("col_name"),
+        round((p - q) * log(p / q), 8).cast("decimal(18,8)").as("contrib"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("contrib")).cast("double").as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+      .orderBy("col_name")
+  }
+
   def profileTable(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     def nd(c: String, as: String): DataFrame =
@@ -870,6 +907,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_table"  -> (profileTable(_, _)),
+    "profile_drift"  -> (profileDrift(_, _)),
     "profile_table_approx" -> (profileTableApprox(_, _)),
     "win_dist"       -> (winDist(_, _)),
     "agg_unpivot"    -> (aggUnpivot(_, _)),
@@ -929,6 +967,38 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "profile_drift" ->
+      """WITH o AS (
+        |  SELECT *, o_orderkey % 2 AS side FROM orders),
+        |bins AS (
+        |  SELECT 'o_totalprice' AS col_name,
+        |    CAST(LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS VARCHAR) AS bin,
+        |    side FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderpriority' AS col_name, o_orderpriority AS bin, side FROM o),
+        |counts AS (
+        |  SELECT col_name, bin,
+        |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS base_c,
+        |    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_c
+        |  FROM bins GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT col_name, CAST(SUM(base_c) AS BIGINT) AS bn,
+        |    CAST(SUM(cur_c) AS BIGINT) AS cn,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM counts GROUP BY 1),
+        |contribs AS (
+        |  SELECT c.col_name,
+        |    CAST(round(
+        |      (CAST(c.base_c + 1 AS DOUBLE) / (t.bn + t.k)
+        |       - CAST(c.cur_c + 1 AS DOUBLE) / (t.cn + t.k))
+        |      * ln((CAST(c.base_c + 1 AS DOUBLE) / (t.bn + t.k))
+        |           / (CAST(c.cur_c + 1 AS DOUBLE) / (t.cn + t.k))), 8)
+        |      AS DECIMAL(18,8)) AS contrib
+        |  FROM counts c JOIN tot t ON c.col_name = t.col_name)
+        |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(contrib) AS DOUBLE) AS psi,
+        |  CAST(SUM(contrib) AS DOUBLE) > 0.1 AS drifted
+        |FROM contribs GROUP BY col_name ORDER BY col_name""".stripMargin,
     "profile_table" ->
       """WITH m AS (
         |  SELECT
