@@ -128,6 +128,24 @@ class PlanSpec extends SparkSpec {
       "keep-decision must not be a join:\n" + finalPlan.take(3000))
   }
 
+  test("llm_boilerplate: single scan — the repeat vote is a window, not a join-back") {
+    // the two-branch form (aggregate boiler keys, broadcast-join back)
+    // recomputed the explode+chunk assembly on both branches: two scans,
+    // chunk text through the words→chunks exchange twice. A regression
+    // back to it fails here
+    val df = graft.operators.TextOps.queries("llm_boilerplate")(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n" + finalPlan.take(3000))
+    assert(!finalPlan.contains("BroadcastHashJoin"),
+      "repeat vote must be a window, not a join:\n" + finalPlan.take(3000))
+  }
+
   test("sql_q17: correlated aggregate subqueries decorrelate into joins") {
     val plan = executedPlan(SqlQueries.queries("sql_q17")(spark, sf))
     // the per-part COUNT and SUM subqueries must rewrite to one aggregate
