@@ -492,8 +492,35 @@ object SqlQueries {
     s.sql(shared(name))
   }
 
+  /** Spark 4 RECURSIVE CTE — ancestor walk over the chunk catalog's
+    * bucket hierarchy (each index level groups 4 children), the
+    * multi-level range index a flat `(dataset ∥ start ∥ end)` key
+    * layout implies at scale (reference key order:
+    * /root/reference/src/rocksdb_storage_engine.rs:180-192). Spark's
+    * recursive CTEs support UNION ALL only (no fixpoint dedup), so the
+    * walk must be ACYCLIC by construction: `cur div 4` strictly
+    * decreases, terminating in ⌈log₄(max bucket)⌉ rounds at ANY scale
+    * factor — never near the engine's depth limit. Output is the
+    * per-dataset histogram of index depths. */
+  def recursiveRollup(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    ChunkCatalog.catalog(s, d).createOrReplaceTempView("chunk_catalog")
+    s.sql(
+      """WITH RECURSIVE walk(dataset_id, chunk_id, cur, depth) AS (
+        |  SELECT dataset_id, chunk_id, block_start div 100, 0 FROM chunk_catalog
+        |  UNION ALL
+        |  SELECT dataset_id, chunk_id, cur div 4, depth + 1 FROM walk WHERE cur > 0),
+        |root_depth AS (
+        |  SELECT dataset_id, chunk_id, MAX(depth) AS depth
+        |  FROM walk GROUP BY dataset_id, chunk_id)
+        |SELECT dataset_id, depth, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        |FROM root_depth GROUP BY dataset_id, depth
+        |ORDER BY dataset_id, depth""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "sql_recursive" -> (recursiveRollup(_, _)),
       "agg_filter" -> (aggFilter(_, _)),
       "sql_q7" -> (q7(_, _)),
       "sql_q3" -> (q3(_, _)),
@@ -503,6 +530,18 @@ object SqlQueries {
     ) ++ shared.keys.map(n => n -> (runShared(n) _)).toMap
 
   def oracles: Map[String, String] = Map(
+    "sql_recursive" ->
+      s"""${ChunkCatalog.catalogSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |walk(dataset_id, chunk_id, cur, depth) AS (
+         |  SELECT dataset_id, chunk_id, block_start // 100, 0 FROM catalog
+         |  UNION ALL
+         |  SELECT dataset_id, chunk_id, cur // 4, depth + 1 FROM walk WHERE cur > 0),
+         |root_depth AS (
+         |  SELECT dataset_id, chunk_id, MAX(depth) AS depth
+         |  FROM walk GROUP BY dataset_id, chunk_id)
+         |SELECT dataset_id, depth, CAST(COUNT(*) AS BIGINT) AS n_chunks
+         |FROM root_depth GROUP BY dataset_id, depth
+         |ORDER BY dataset_id, depth""".stripMargin,
     "agg_filter" ->
       """SELECT o_orderstatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_all,
