@@ -719,6 +719,146 @@ object VectorOps {
       .orderBy("cell", "vec_id")
   }
 
+  /** MMR — Maximal Marginal Relevance (Carbonell & Goldstein '98):
+    * diversified top-k. Plain top-k returns near-duplicates of the
+    * best hit; MMR greedily selects
+    * argmax λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s), trading
+    * relevance against redundancy — the selection step retrieval
+    * pipelines (and dedup-aware sampling) actually ship. λ = 0.7,
+    * 5 picks from a 20-candidate pool per query.
+    *
+    * Scale shape: the expensive part is the candidate pool (one
+    * corpus scan, any ANN variant here); MMR itself then touches only
+    * (queries × 20) rows and their bounded 20×20 pairwise sims — the
+    * greedy rounds are joins over per-query CONSTANT-size frames, so
+    * the 4 extra rounds cost O(queries), not O(corpus).
+    *
+    * Float discipline: 10⁶ FIXED-POINT sims and 7·sim − 3·pen integer
+    * scores (λ = 7/10), the [[pageRank]] trick — a first cut scored
+    * `round(0.7·sim₆, 6)` in doubles and a 6-decimal sim times 0.7 is
+    * a 7-decimal value, so the scale-6 rounding sits ON the .5
+    * boundary for ~1 in 10 rows and the engines disagreed on one of
+    * 15 output rows. Integers cannot disagree; ties break on id; the
+    * DuckDB oracle replays the greedy rounds as unrolled CTEs,
+    * hash-exact. Output score is ×10⁷ fixed point. */
+  /** (λ, pool, k) shared by [[mmrSelect]] and its oracle — one
+    * constant, same drift hazard as [[RpShortlist]]. */
+  private val MmrParams = (0.7, 20, 5)
+
+  def mmrSelect(s: SparkSession, d: String): DataFrame = {
+    val (lam, pool, k) = MmrParams
+    val l10 = math.round(lam * 10).toInt // λ = l10/10; weights stay integer
+    val m10 = 10 - l10
+    def fx(c: Column): Column = round(c * lit(1000000.0), 0).cast("long")
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val cand = emb.filter(col("vec_id") >= 3).as("c")
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("id"),
+        fx(cosine(col("q"), col("embedding"))).as("sim"),
+        col("embedding"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))))
+      .filter(col("rn") <= pool)
+      .select("query_id", "id", "sim", "embedding")
+      .localCheckpoint() // tiny (queries×pool); joins into every round
+    val pc = cand.as("a").join(cand.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.id") =!= col("b.id"))
+      .select(col("a.query_id").as("query_id"), col("a.id").as("a"),
+        col("b.id").as("b"),
+        fx(cosine(col("a.embedding"), col("b.embedding"))).as("s"))
+      .localCheckpoint()
+    val slim = cand.select("query_id", "id", "sim")
+    var sel = slim
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("id"), lit(1).as("rank"),
+        (col("sim") * l10).as("score"))
+    for (r <- 2 to k) {
+      val pen = pc.join(sel.select(col("query_id"), col("id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("id"))
+        .agg(max("s").as("pen"))
+      val next = slim
+        .join(sel.select("query_id", "id"), Seq("query_id", "id"), "left_anti")
+        .join(pen, Seq("query_id", "id"))
+        .select(col("query_id"), col("id"),
+          (col("sim") * l10 - col("pen") * m10).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("id"), lit(r).as("rank"), col("score"))
+      sel = sel.unionByName(next)
+    }
+    sel.select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB replay of [[mmrSelect]]: candidate pool, bounded pairwise
+    * sims, then the greedy rounds unrolled as CTEs — all in the same
+    * 10⁶ fixed point. */
+  private def mmrOracle(lam: Double, pool: Int, k: Int): String = {
+    val l10 = math.round(lam * 10).toInt
+    val m10 = 10 - l10
+    def cos(a: String, b: String) =
+      s"""CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, 64),
+         |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))),
+         |    (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, 64),
+         |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))),
+         |    (x, y) -> x + y))
+         |    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, 64),
+         |      i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))),
+         |    (x, y) -> x + y))) * 1000000.0, 0) AS BIGINT)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT pc.query_id, pc.a AS id, MAX(pc.s) AS pen
+         |  FROM pc JOIN sel${r - 1} sl ON pc.query_id = sl.query_id AND pc.b = sl.id
+         |  GROUP BY 1, 2),
+         |s$r AS (
+         |  SELECT query_id, id, $r AS rank, score FROM (
+         |    SELECT c.query_id, c.id,
+         |      CAST(c.sim * $l10 - p.pen * $m10 AS BIGINT) AS score,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY c.sim * $l10 - p.pen * $m10 DESC, c.id) AS rn
+         |    FROM cand c JOIN p$r p ON c.query_id = p.query_id AND c.id = p.id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} sl
+         |                      WHERE sl.query_id = c.query_id AND sl.id = c.id))
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT query_id, id FROM sel${r - 1}
+         |  UNION ALL SELECT query_id, id FROM s$r)""".stripMargin
+    }
+    s"""WITH pool0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS id, ${cos("q", "c")} AS sim,
+       |    c.embedding AS embedding
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id >= 3),
+       |cand AS (
+       |  SELECT query_id, id, sim, embedding FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, id) AS rn FROM pool0)
+       |  WHERE rn <= $pool),
+       |pc AS (
+       |  SELECT a.query_id, a.id AS a, b.id AS b, ${cos("a", "b")} AS s
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.id <> b.id),
+       |s1 AS (
+       |  SELECT query_id, id, 1 AS rank, CAST(sim * $l10 AS BIGINT) AS score FROM (
+       |    SELECT query_id, id, sim, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT query_id, id FROM s1),
+       |${rounds.mkString(",\n")}
+       |SELECT query_id, rank, id AS neighbor_id, score
+       |FROM (${(1 to k).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")})
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Vector stats: exact norms and dimension checks per vector subset. */
   def embedStats(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -902,7 +1042,8 @@ object VectorOps {
     "llm_sim_topk_exec" -> (simSearchExec(_, _)),
     "llm_semdedup_trained" -> (semDedupTrained(_, _)),
     "llm_rand_proj"     -> (randProject(_, _)),
-    "llm_ann_rp"        -> (annRandProj(_, _))
+    "llm_ann_rp"        -> (annRandProj(_, _)),
+    "llm_mmr"           -> (mmrSelect(_, _))
   )
 
   /** DuckDB replay of the [[kmeans]] Lloyd fit, unrolled: `rounds`
@@ -948,6 +1089,7 @@ object VectorOps {
     "llm_kmeans" -> lloydOracle(k = 8, rounds = 5),
     "llm_rand_proj" -> randProjOracle(dIn = 64, kOut = 8),
     "llm_ann_rp" -> annRandProjOracle(dIn = 64, kOut = 8, kShort = RpShortlist),
+    "llm_mmr" -> mmrOracle(MmrParams._1, MmrParams._2, MmrParams._3),
     "llm_centroid" ->
       """WITH ex AS (
         |  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x

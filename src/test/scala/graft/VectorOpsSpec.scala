@@ -280,6 +280,40 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("MMR: rank-1 is the relevance top-1; selection strictly less redundant than top-5") {
+    val mmr = VectorOps.mmrSelect(spark, sf)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    val top = VectorOps.simSearch(spark, sf)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.size
+    }
+    mmr.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks")
+      // greedy seed = pure relevance top-1
+      val m1 = g.find(_._2 == 1).get._3
+      val t1 = top.find(t => t._1 == q && t._2 == 1).get._3
+      assert(m1 == t1, s"query $q: MMR rank-1 $m1 != relevance top-1 $t1")
+      // the point of MMR: the picked set is less self-similar than top-5
+      val topIds = top.filter(_._1 == q).map(_._3).toSeq
+      assert(meanPairSim(g.map(_._3).toSeq) <= meanPairSim(topIds) + 1e-12,
+        s"query $q: MMR set is not less redundant")
+    }
+  }
+
   test("JL-shortlist ANN: well-formed ranks and a recall@5 floor vs brute force") {
     val bf = VectorOps.simSearch(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
