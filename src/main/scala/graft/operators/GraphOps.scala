@@ -336,8 +336,30 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** SOFT dedup — duplicate-aware sampling weights instead of drops:
+    * weight = 1/cluster_size over [[dedupClusters]]' components, so a
+    * k-way duplicated document contributes exactly one document's
+    * worth of sampling mass in total (the D4/SemDeDup-style
+    * alternative when hard deletion loses wanted diversity).
+    * `effective_tokens = n_tokens · weight` is the number a mixture
+    * planner actually consumes. 1/size and n/size are single IEEE
+    * divisions of exact integers — identical in both engines. */
+  def dedupWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    dedupClusters(s, d)
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("cluster_size"), col("n_tokens"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"),
+        round(col("n_tokens").cast("double") / col("cluster_size"), 4)
+          .as("effective_tokens"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_cc"     -> (dedupClusters(_, _)),
+    "llm_dedup_weights" -> (dedupWeights(_, _)),
     "llm_dedup_groups" -> (dedupGroups(_, _)),
     "graph_pagerank"   -> (pageRankDocs(_, _)),
     "graph_triangles"  -> (triangleCount(_, _)),
@@ -417,6 +439,40 @@ object GraphOps {
         |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY comp)
         |SELECT lab.doc_id, lab.comp, cs.cluster_size
         |FROM lab JOIN cs ON lab.comp = cs.comp ORDER BY lab.doc_id""".stripMargin,
+    // same component computation; weights are single exact-integer divisions
+    "llm_dedup_weights" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.02),
+        |sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        |nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 150),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+        |lab AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+        |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY comp),
+        |tok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT lab.doc_id, cs.cluster_size, tok.n_tokens,
+        |  round(CAST(1 AS DOUBLE) / cs.cluster_size, 6) AS weight,
+        |  round(CAST(tok.n_tokens AS DOUBLE) / cs.cluster_size, 4) AS effective_tokens
+        |FROM lab JOIN cs ON lab.comp = cs.comp
+        |JOIN tok ON tok.doc_id = lab.doc_id ORDER BY lab.doc_id""".stripMargin,
     "graph_kcore" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, sh FROM (
