@@ -821,19 +821,29 @@ object Relational {
     * Scale: one scan, one (col, bin) rollup, broadcast totals. */
   def profileDrift(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).withColumn("side", col("o_orderkey") % 2)
-    val bins = o.select(lit("o_totalprice").as("col_name"),
-        least(floor(col("o_totalprice") / 50000), lit(9L)).cast("string").as("bin"),
+    // one scan for ALL profiled columns: a union-of-projections form
+    // reads the table once per column (C scans for C columns at 100 TB);
+    // exploding (col_name, bin) structs reads it once, rows ×C
+    val bins = o.select(col("side"), explode(array(
+        struct(lit("o_totalprice").as("col_name"),
+          least(floor(col("o_totalprice") / 50000), lit(9L)).cast("string").as("bin")),
+        struct(lit("o_orderpriority").as("col_name"),
+          col("o_orderpriority").as("bin")))).as("cb"))
+      .select(col("cb.col_name").as("col_name"), col("cb.bin").as("bin"),
         col("side"))
-      .unionByName(o.select(lit("o_orderpriority").as("col_name"),
-        col("o_orderpriority").as("bin"), col("side")))
     val counts = bins.groupBy("col_name", "bin")
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("base_c"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("cur_c"))
-    val tot = counts.groupBy("col_name")
-      .agg(sum("base_c").as("bn"), sum("cur_c").as("cn"), count(lit(1)).as("k"))
+    // per-column totals as a window over the SAME counts — a separate
+    // aggregate + join-back recomputed the whole counts subtree (the
+    // plan showed two scans); the window reuses one
+    val wc = Window.partitionBy("col_name")
     val p = (col("base_c") + 1).cast("double") / (col("bn") + col("k"))
     val q = (col("cur_c") + 1).cast("double") / (col("cn") + col("k"))
-    counts.join(broadcast(tot), "col_name")
+    counts
+      .withColumn("bn", sum("base_c").over(wc))
+      .withColumn("cn", sum("cur_c").over(wc))
+      .withColumn("k", count(lit(1)).over(wc))
       .select(col("col_name"),
         round((p - q) * log(p / q), 8).cast("decimal(18,8)").as("contrib"))
       .groupBy("col_name")
