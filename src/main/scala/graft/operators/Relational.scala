@@ -940,6 +940,18 @@ object Relational {
     "skew_salted_agg" -> ((s, d) => graft.plans.Scale
       .saltedCountSum(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag")),
+    // salted equi-join (hot-key spreading): output — and oracle — is
+    // exactly the plain join's rollup; the salt is internal
+    "skew_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.plans.Scale.saltedJoin(li, o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("o_orderpriority")
+    }),
     "ev_retention"   -> (evRetention(_, _)),
     "win_ntile"      -> (winNtile(_, _)),
     "win_range_frame" -> (winRangeFrame(_, _)),
@@ -1252,6 +1264,11 @@ object Relational {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "dq_checks" ->
       """SELECT
         |  (SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
