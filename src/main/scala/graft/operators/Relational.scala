@@ -314,8 +314,11 @@ object Relational {
     * to 0. The interpolation arithmetic is ordered identically in both
     * engines (pv + (nv−pv)·Δt/Δtotal, doubles, round 4) so the oracle
     * hash-matches. Scale shape: the grid is (users × buckets) metadata,
-    * orders smaller than events; both windows ride ONE user_id-keyed
-    * exchange (same partitioning, consecutive window specs). */
+    * orders smaller than events; all four window functions share one
+    * (user_id, bucket) spec, so Spark fuses them into ONE Window
+    * operator — a single sort, no re-exchange between the directions
+    * (PlanSpec pins the operator count; the only other user_id
+    * exchange in the plan is the grid's `distinct`). */
   def tsInterpolate(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).filter(col("user_id") < 10)
     val bounds = ev.agg(

@@ -146,6 +146,24 @@ class PlanSpec extends SparkSpec {
       "repeat vote must be a window, not a join:\n" + finalPlan.take(3000))
   }
 
+  test("ts_interpolate: all four window functions fuse into one Window operator") {
+    // the doc comment's claim: pre (running last-observed) and post
+    // (first-following) share (partitionBy user_id, orderBy bucket), so
+    // Spark fuses all four window functions into ONE Window operator —
+    // a second Window operator here means the specs diverged and the
+    // grid is being re-sorted between them
+    val df = graft.operators.Relational.tsInterpolate(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    val windows = "Window \\[".r.findAllIn(finalPlan).length
+    assert(windows == 1,
+      s"expected 1 Window operator, got $windows:\n" + finalPlan.take(3000))
+  }
+
   test("sql_q17: correlated aggregate subqueries decorrelate into joins") {
     val plan = executedPlan(SqlQueries.queries("sql_q17")(spark, sf))
     // the per-part COUNT and SUM subqueries must rewrite to one aggregate
