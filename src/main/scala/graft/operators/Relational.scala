@@ -311,9 +311,17 @@ object Relational {
     * continuous signals). Same grid; two windows per user (running
     * last-observed before, first-observed after) instead of one;
     * leading/trailing gaps fall back to nearest-observed, empty users
-    * to 0. The interpolation arithmetic is ordered identically in both
-    * engines (pv + (nv−pv)·Δt/Δtotal, doubles, round 4) so the oracle
-    * hash-matches. Scale shape: the grid is (users × buckets) metadata,
+    * to 0.
+    *
+    * Float discipline: CENT-integer fixed point,
+    * (pv·(Δtot−Δt) + nv·Δt) div Δtot — a first cut computed
+    * pv + (nv−pv)·Δt/Δtot in doubles with round-4, and the sf0.1 sweep
+    * caught one row in 1800 where the exact value sat ON the .00005
+    * boundary: both engines held the SAME double but their round()
+    * implementations disagree there. The rearranged numerator is
+    * non-negative, so integer `div` floors identically in both engines
+    * (the [[GraphOps.pageRank]] precedent). Scale shape: the grid is
+    * (users × buckets) metadata,
     * orders smaller than events; all four window functions share one
     * (user_id, bucket) spec, so Spark fuses them into ONE Window
     * operator — a single sort, no re-exchange between the directions
@@ -330,29 +338,36 @@ object Relational {
     val actual = ev
       .groupBy(col("user_id"),
         window(col("ts"), "4 hours").getField("start").as("bucket"))
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("sum_cents"))
     val pre = Window.partitionBy("user_id").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val post = Window.partitionBy("user_id").orderBy("bucket")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val pv = last(col("sum_value"), ignoreNulls = true).over(pre)
-    val pb = last(when(col("sum_value").isNotNull, col("bucket")),
+    val pv = last(col("sum_cents"), ignoreNulls = true).over(pre)
+    val pb = last(when(col("sum_cents").isNotNull, col("bucket")),
       ignoreNulls = true).over(pre)
-    val nv = first(col("sum_value"), ignoreNulls = true).over(post)
-    val nb = first(when(col("sum_value").isNotNull, col("bucket")),
+    val nv = first(col("sum_cents"), ignoreNulls = true).over(post)
+    val nb = first(when(col("sum_cents").isNotNull, col("bucket")),
       ignoreNulls = true).over(post)
     grid.join(actual, Seq("user_id", "bucket"), "left_outer")
-      .select(col("user_id"), col("bucket"),
-        col("sum_value").isNotNull.as("observed"),
-        round(
-          when(col("sum_value").isNotNull, col("sum_value"))
-            .when(pv.isNotNull && nv.isNotNull,
-              pv + (nv - pv) *
-                (unix_timestamp(col("bucket")) - unix_timestamp(pb)).cast("double") /
-                (unix_timestamp(nb) - unix_timestamp(pb)).cast("double"))
-            .when(pv.isNotNull, pv)
-            .when(nv.isNotNull, nv)
-            .otherwise(lit(0.0)), 4).as("filled_value"))
+      // all four window columns in ONE select: withColumn chaining
+      // splits them into separate Window operators the optimizer does
+      // not fully re-collapse (measured: 3 Window nodes); a single
+      // projection keeps the one fused operator PlanSpec pins
+      .select(col("user_id"), col("bucket"), col("sum_cents"),
+        pv.as("pv"), pb.as("pb"), nv.as("nv"), nb.as("nb"))
+      .withColumn("dt",
+        unix_timestamp(col("bucket")) - unix_timestamp(col("pb")))
+      .withColumn("dtot",
+        unix_timestamp(col("nb")) - unix_timestamp(col("pb")))
+      .selectExpr("user_id", "bucket", "sum_cents IS NOT NULL AS observed",
+        """CASE WHEN sum_cents IS NOT NULL THEN sum_cents
+          |     WHEN pv IS NOT NULL AND nv IS NOT NULL
+          |       THEN (pv * (dtot - dt) + nv * dt) div dtot
+          |     WHEN pv IS NOT NULL THEN pv
+          |     WHEN nv IS NOT NULL THEN nv
+          |     ELSE 0L END AS filled_cents""".stripMargin)
       .orderBy("user_id", "bucket")
   }
 
@@ -1233,36 +1248,39 @@ object Relational {
         |actual AS (
         |  SELECT user_id,
         |    CAST(to_timestamp((CAST(epoch(ts) AS BIGINT) // 14400) * 14400) AS TIMESTAMP) AS bucket,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
         |  FROM ev GROUP BY 1, 2),
         |j AS (
-        |  SELECT grid.user_id, grid.bucket, actual.sum_value
+        |  SELECT grid.user_id, grid.bucket, actual.sum_cents
         |  FROM grid LEFT JOIN actual
         |    ON grid.user_id = actual.user_id AND grid.bucket = actual.bucket),
         |w AS (
-        |  SELECT user_id, bucket, sum_value,
-        |    last_value(sum_value IGNORE NULLS) OVER pre AS pv,
-        |    last_value(CASE WHEN sum_value IS NOT NULL THEN bucket END IGNORE NULLS)
+        |  SELECT user_id, bucket, sum_cents,
+        |    last_value(sum_cents IGNORE NULLS) OVER pre AS pv,
+        |    last_value(CASE WHEN sum_cents IS NOT NULL THEN bucket END IGNORE NULLS)
         |      OVER pre AS pb,
-        |    first_value(sum_value IGNORE NULLS) OVER post AS nv,
-        |    first_value(CASE WHEN sum_value IS NOT NULL THEN bucket END IGNORE NULLS)
+        |    first_value(sum_cents IGNORE NULLS) OVER post AS nv,
+        |    first_value(CASE WHEN sum_cents IS NOT NULL THEN bucket END IGNORE NULLS)
         |      OVER post AS nb
         |  FROM j
         |  WINDOW pre AS (PARTITION BY user_id ORDER BY bucket
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |         post AS (PARTITION BY user_id ORDER BY bucket
-        |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, bucket, sum_value IS NOT NULL AS observed,
-        |  round(CASE
-        |    WHEN sum_value IS NOT NULL THEN sum_value
+        |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |d AS (
+        |  SELECT user_id, bucket, sum_cents, pv, nv,
+        |    CAST(epoch(bucket) AS BIGINT) - CAST(epoch(pb) AS BIGINT) AS dt,
+        |    CAST(epoch(nb) AS BIGINT) - CAST(epoch(pb) AS BIGINT) AS dtot
+        |  FROM w)
+        |SELECT user_id, bucket, sum_cents IS NOT NULL AS observed,
+        |  CAST(CASE
+        |    WHEN sum_cents IS NOT NULL THEN sum_cents
         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-        |      pv + (nv - pv) *
-        |        CAST(CAST(epoch(bucket) AS BIGINT) - CAST(epoch(pb) AS BIGINT) AS DOUBLE)
-        |        / CAST(CAST(epoch(nb) AS BIGINT) - CAST(epoch(pb) AS BIGINT) AS DOUBLE)
+        |      (pv * (dtot - dt) + nv * dt) // dtot
         |    WHEN pv IS NOT NULL THEN pv
         |    WHEN nv IS NOT NULL THEN nv
-        |    ELSE 0.0 END, 4) AS filled_value
-        |FROM w ORDER BY user_id, bucket""".stripMargin,
+        |    ELSE 0 END AS BIGINT) AS filled_cents
+        |FROM d ORDER BY user_id, bucket""".stripMargin,
     "skew_salted_agg" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum
