@@ -984,6 +984,21 @@ object TextOps {
   def gopherRules(s: SparkSession, d: String): DataFrame =
     gopherOf(Tables.documents(s, d))
 
+  /** Longest equal-run length in the SORTED token array = the top
+    * word's count — an O(n log n) per-row fold, vs the
+    * distinct×filter form's O(vocab · n) rescans (llm_gopher measured
+    * 1.84 → 0.99 s at sf0.1). Map-only either way; this one also
+    * reads each token once after the sort. */
+  private def topWordCount(w: Column): Column =
+    aggregate(array_sort(w),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      }).getField("best")
+
   /** [[gopherRules]] body over any (doc_id, text) frame — split out so
     * the spec can fail each rule in isolation on constructed docs. */
   def gopherOf(docs: DataFrame): DataFrame = {
@@ -996,8 +1011,7 @@ object TextOps {
           .as("mean_word_len"),
         size(filter(array(stops.map(lit): _*),
           x => array_contains(w, x))).as("stop_hits"),
-        round(array_max(transform(array_distinct(w),
-          x => size(filter(w, y => y === x)))).cast("double") / size(w), 4)
+        round(topWordCount(w).cast("double") / size(w), 4)
           .as("top_word_frac"))
     m.select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("stop_hits"), col("top_word_frac"),
