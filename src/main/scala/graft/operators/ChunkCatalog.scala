@@ -138,9 +138,10 @@ object ChunkCatalog {
     * merged files keep contiguous ranges and the range index stays
     * prunable) into ≈ total/8 target-size groups per dataset. All
     * integer arithmetic (running sum, `div`) so both engines agree
-    * exactly. Scale: one window + one aggregate over catalog METADATA
-    * — the planner never touches chunk payloads; the rewrite it emits
-    * is embarrassingly parallel per group. */
+    * exactly. Scale: the running-sum and per-dataset-total window
+    * passes share one dataset_id exchange, then one aggregate — all
+    * over catalog METADATA; the planner never touches chunk payloads,
+    * and the rewrite it emits is embarrassingly parallel per group. */
   def chunkCompact(spark: SparkSession, dir: String): DataFrame = {
     val run = Window.partitionBy("dataset_id").orderBy("block_start")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -836,7 +836,9 @@ object Relational {
     * bins finite. Per-bin contributions round to 8 decimals and sum
     * as DECIMAL — the [[aggStats]]/perplexity float discipline: the
     * cross-bin sum must not depend on partial-aggregation order.
-    * Scale: one scan, one (col, bin) rollup, broadcast totals. */
+    * Scale: one scan (all profiled columns explode from it), one
+    * (col, bin) rollup, per-column totals as a window over the same
+    * counts — no second read of anything. */
   def profileDrift(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).withColumn("side", col("o_orderkey") % 2)
     // one scan for ALL profiled columns: a union-of-projections form
