@@ -961,7 +961,13 @@ object Relational {
       .saltedCountSum(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag")),
     // salted equi-join (hot-key spreading): output — and oracle — is
-    // exactly the plain join's rollup; the salt is internal
+    // exactly the plain join's rollup; the salt is internal. Bench
+    // note: ~2.7 s at sf0.1 is the DEMO's price, not a plan smell —
+    // the dim side replicates ×16 and both sides shuffle on
+    // (key, salt), deliberately forgoing the broadcast a non-skewed
+    // dim would take, because the point is exercising the shape that
+    // survives a hot key at 100 TB (where broadcast of the big side
+    // is impossible and one reducer would otherwise drown)
     "skew_salted_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
       val o = Tables.orders(s, d)
