@@ -1035,8 +1035,14 @@ object TextOps {
     * The PMI expression is ordered identically in both engines
     * (left-assoc double chain, ln, round 4) and the top-20 sort key
     * is the ROUNDED pmi + pair tiebreak, so ordering agrees exactly. */
-  def cooccurPmi(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d).select(col("doc_id"), words(col("text")).as("w"))
+  def cooccurPmi(s: SparkSession, d: String): DataFrame =
+    cooccurPmiOf(Tables.documents(s, d))
+
+  /** [[cooccurPmi]] body over any (doc_id, text) frame — split out so
+    * the spec can plant a collocation and check it outranks
+    * independent pairs. */
+  def cooccurPmiOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), words(col("text")).as("w"))
     val wcol = col("w")
     def shifted(k: Int) =
       transform(wcol, (x, i) => struct(x.as("a"), get(wcol, i + k).as("b")))

@@ -67,6 +67,34 @@ class ChunkCatalogSpec extends SparkSpec {
     assert(orphans == 0L)
   }
 
+  test("compaction plan: complete, block-contiguous, greedy-bounded groups") {
+    val chunks = ChunkCatalog.catalog(spark, sf)
+      .select("dataset_id", "block_start", "size_bytes")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val plan = ChunkCatalog.chunkCompact(spark, sf)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    plan.groupBy(_._1).foreach { case (ds, gs) =>
+      val sorted = gs.sortBy(_._2)
+      // completeness: groups partition the dataset's chunks and bytes
+      assert(sorted.map(_._3).sum == chunks(ds).size, s"$ds chunk count")
+      assert(sorted.map(_._4).sum == chunks(ds).map(_._3).sum, s"$ds bytes")
+      // contiguity: group ranges ascend without interleaving
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 <= b._5, s"$ds groups overlap: $a $b")
+        case _ =>
+      }
+      // greedy bound: a group exceeds target only by its LAST chunk —
+      // total < target + max single chunk size
+      val total = chunks(ds).map(_._3).sum
+      val target = math.max(total / 8, 1L)
+      val maxChunk = chunks(ds).map(_._3).max
+      sorted.foreach { g =>
+        assert(g._4 < target + maxChunk, s"$ds group $g busts greedy bound")
+      }
+    }
+  }
+
   private object Relat {
     def orphanPoints(s: org.apache.spark.sql.SparkSession, d: String): Long = {
       val pts = Tables.orders(s, d)

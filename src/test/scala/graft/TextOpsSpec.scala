@@ -349,6 +349,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("PMI: a planted collocation outranks pairs of independent words") {
+    // 'neural network' always adjacent (never apart); filler words vary.
+    // PMI must rank the planted pair above any filler-filler pair.
+    val docs = (1 to 20).map { i =>
+      val filler = (1 to 8).map(j => s"w${(i * 3 + j) % 7}").mkString(" ")
+      (i.toLong, s"neural network $filler neural network $filler")
+    }.toDF("doc_id", "text")
+    val out = TextOps.cooccurPmiOf(docs)
+      .select("w1", "w2", "pmi").as[(String, String, Double)].collect()
+    val planted = out.find(r => Set(r._1, r._2) == Set("neural", "network"))
+    assert(planted.isDefined, s"planted pair missing from top-20: ${out.toSeq}")
+    val fillers = out.filter(r => r._1.startsWith("w") && r._2.startsWith("w"))
+    fillers.foreach { f =>
+      assert(planted.get._3 > f._3,
+        s"collocation pmi ${planted.get._3} not above filler $f")
+    }
+  }
+
   test("boilerplate: repeats removed per-source, cross-source immune, all-boiler doc dropped") {
     val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one exact chunk
     val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
