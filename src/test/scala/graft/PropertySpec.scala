@@ -95,4 +95,45 @@ class PropertySpec extends SparkSpec {
       assert(xy <= xz + zy)
     }
   }
+
+  test("sql_recursive: depth histogram equals a driver-side base-4 digit replay") {
+    def depth(b: Long): Int = { // divisions by 4 until 0; depth(0) = 0
+      var cur = b; var d = 0
+      while (cur > 0) { cur /= 4; d += 1 }
+      d
+    }
+    val expected = graft.operators.ChunkCatalog.catalog(spark, sf)
+      .select("dataset_id", "block_start").as[(String, Long)].collect()
+      .map { case (ds, bs) => (ds, depth(bs / 100)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.SqlQueries.recursiveRollup(spark, sf)
+      .as[(String, Int, Long)].collect()
+      .map { case (ds, d, n) => (ds, d) -> n }.toMap
+    assert(got == expected)
+  }
+
+  test("profile_drift: an exchangeable odd/even split shows no drift") {
+    // the two 'snapshots' are the same distribution by construction, so
+    // PSI must sit far under the 0.1 alarm for every profiled column —
+    // a drift detector that fires on exchangeable splits is useless
+    val rows = graft.operators.Relational.profileDrift(spark, sf)
+      .select("col_name", "psi", "drifted").as[(String, Double, Boolean)].collect()
+    assert(rows.length == 2)
+    rows.foreach { case (c, psi, drifted) =>
+      assert(psi < 0.1 && !drifted, s"$c psi=$psi flagged drift on a null split")
+    }
+  }
+
+  test("dedup weights: total sampling mass equals the number of clusters") {
+    // 1/cluster_size summed over members is exactly 1 per cluster —
+    // soft dedup conserves one document's worth of mass per duplicate set
+    val w = graft.operators.GraphOps.dedupWeights(spark, sf)
+      .select("doc_id", "cluster_size", "weight")
+      .as[(Long, Long, Double)].collect()
+    val nClusters = graft.operators.GraphOps.dedupClusters(spark, sf)
+      .select("comp").distinct().count()
+    val mass = w.map(_._3).sum
+    assert(math.abs(mass - nClusters) < 1e-3,
+      s"mass $mass != clusters $nClusters")
+  }
 }
