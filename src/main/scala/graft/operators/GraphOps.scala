@@ -283,6 +283,54 @@ object GraphOps {
       .orderBy("cluster_size")
   }
 
+  /** Bounded-radius multi-source BFS — hop distance from a seed set,
+    * the traversal primitive the suite's other algorithms don't give
+    * (CC says WHETHER reachable, never HOW FAR). Each round relaxes
+    * dist(v) = min(dist(v), min over in-neighbors u of dist(u) + 1) —
+    * one (edges ⋈ dists) equi-join + min-aggregate per round, the same
+    * bounded (node, long) shuffle as [[connectedComponents]]; `rounds`
+    * caps the radius, which is also the honest 100 TB contract (an
+    * unbounded BFS over a long-chain graph is O(diameter) rounds no
+    * matter the engine — production neighborhoods bound the hop count
+    * up front). Unreached nodes are absent from the output, matching
+    * the oracle's inner semantics. */
+  def bfsDistances(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var dist = nodes.join(seeds, Seq("node"), "left_semi")
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = sym.join(dist, sym("src") === dist("node"))
+        .select(sym("dst").as("node"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      dist.unpersist(blocking = false)
+      dist = next
+    }
+    sym.unpersist(blocking = false)
+    dist
+  }
+
+  /** Hop distance from the 3 lowest doc ids over the exact-Jaccard doc
+    * graph ([[dedupClusters]]' graph), radius 4. */
+  def bfsDocs(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id").as("node"))
+    val edges = TextOps.jaccardPairs(s, d, 150)
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val seeds = nodes.filter(col("node") < 3)
+    bfsDistances(nodes, edges, seeds, rounds = 4)
+      .select(col("node").as("doc_id"), col("dist"))
+      .orderBy("doc_id")
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007): each round every node adopts its neighborhood's MOST
     * FREQUENT label — where [[connectedComponents]]' min-label collapses
@@ -364,7 +412,8 @@ object GraphOps {
     "graph_pagerank"   -> (pageRankDocs(_, _)),
     "graph_triangles"  -> (triangleCount(_, _)),
     "graph_kcore"      -> (kCoreDocs(_, _)),
-    "graph_communities" -> (communitiesDocs(_, _))
+    "graph_communities" -> (communitiesDocs(_, _)),
+    "graph_bfs"        -> (bfsDocs(_, _))
   )
 
   /** DuckDB replay of [[communitiesDocs]]: the llm_dedup_cc shingle
@@ -409,8 +458,48 @@ object GraphOps {
        |FROM l$rounds l JOIN cs ON l.lbl = cs.lbl ORDER BY l.node""".stripMargin
   }
 
+  /** DuckDB replay of [[bfsDocs]]: the same shingle graph, `rounds`
+    * unrolled min-relaxations. */
+  private def bfsOracle(rounds: Int): String = {
+    val prefix =
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.02),
+        |sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+        |nodes AS (SELECT DISTINCT doc_id AS node FROM documents WHERE doc_id < 150),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node < 3)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT s.dst AS node, d.dist + 1 AS dist
+         |    FROM sym s JOIN d${r - 1} d ON s.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    }
+    s"""$prefix,
+       |${roundCtes.mkString(",\n")}
+       |SELECT node AS doc_id, CAST(dist AS BIGINT) AS dist
+       |FROM d$rounds ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "graph_communities" -> lpaOracle(rounds = 3),
+    "graph_bfs" -> bfsOracle(rounds = 4),
     "llm_dedup_cc" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id, sh FROM (

@@ -20,6 +20,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc(12L) == 12L)
   }
 
+  test("BFS: path distances exact, radius-bounded, multi-source takes the min") {
+    val nodes = (0L to 10L).toDF("node")
+    val edges = (0L to 8L).map(i => (i, i + 1)).toDF("src", "dst") // 0-…-9 path
+    def run(seeds: Seq[Long]) =
+      GraphOps.bfsDistances(nodes, edges, seeds.toDF("node"), rounds = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = run(Seq(0L))
+    (0L to 4L).foreach(k => assert(single(k) == k, s"node $k"))
+    // radius bound: nodes beyond 4 hops (and the isolated 10) are absent
+    (5L to 10L).foreach(k => assert(!single.contains(k), s"node $k leaked"))
+    // multi-source: distance is the min over seeds — the middle of the
+    // path is now reachable from BOTH ends
+    val multi = run(Seq(0L, 9L))
+    assert(multi(4L) == 4L && multi(5L) == 4L && multi(9L) == 0L)
+    assert(multi.size == 10) // everything but the isolated node
+  }
+
   test("frequency-vote LPA: triangles converge to min id; sync pair oscillation pinned") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("node")
     val edges = Seq(
