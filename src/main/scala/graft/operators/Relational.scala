@@ -165,6 +165,47 @@ object Relational {
   /** As-of join: for each purchase event, the most recent signup ts of the
     * same user at-or-before it. Implemented as a union + running
     * last-non-null window — one shuffle on user_id, no point-lookup loop. */
+  /** NEAREST as-of with tolerance — pandas `merge_asof(direction=
+    * "nearest", tolerance=...)`: [[joinAsof]] matches strictly
+    * backward; sensor/attribution joins often want the closest match
+    * in EITHER direction, bounded by a window. Per purchase: the
+    * running last signup (backward) and first following signup
+    * (forward) come from two frames on ONE (user_id, ts) window
+    * exchange; the smaller |Δt| wins, ties to the earlier signup, and
+    * matches beyond 3 days are nulled. All comparisons are integer
+    * unix seconds — exact in both engines. */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val tolSec = 3L * 86400
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "signup"))
+    val pre = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val post = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sig = when(col("event_type") === "signup", col("ts"))
+    ev.select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        last(sig, ignoreNulls = true).over(pre).as("prev_su"),
+        first(sig, ignoreNulls = true).over(post).as("next_su"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("dp", unix_timestamp(col("ts")) - unix_timestamp(col("prev_su")))
+      .withColumn("dn", unix_timestamp(col("next_su")) - unix_timestamp(col("ts")))
+      .selectExpr("event_id", "user_id", "ts",
+        s"""CASE
+           |  WHEN prev_su IS NOT NULL AND (next_su IS NULL OR dp <= dn)
+           |    THEN CASE WHEN dp <= $tolSec THEN prev_su END
+           |  WHEN next_su IS NOT NULL
+           |    THEN CASE WHEN dn <= $tolSec THEN next_su END
+           |END AS nearest_signup_ts""".stripMargin,
+        s"""CASE
+           |  WHEN prev_su IS NOT NULL AND (next_su IS NULL OR dp <= dn)
+           |    THEN CASE WHEN dp <= $tolSec THEN dp END
+           |  WHEN next_su IS NOT NULL
+           |    THEN CASE WHEN dn <= $tolSec THEN dn END
+           |END AS diff_seconds""".stripMargin)
+      .orderBy("event_id")
+  }
+
   def joinAsof(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("purchase", "signup"))
@@ -992,6 +1033,7 @@ object Relational {
     "join_range"     -> (joinRange(_, _)),
     "join_range_bucketed" -> (joinRangeBucketed(_, _)),
     "join_asof"      -> (joinAsof(_, _)),
+    "join_asof_nearest" -> (joinAsofNearest(_, _)),
     "join_cross"     -> (joinCross(_, _)),
     "agg_basic"      -> (aggBasic(_, _)),
     "agg_distinct"   -> (aggDistinct(_, _)),
@@ -1449,6 +1491,35 @@ object Relational {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
         |  FROM events WHERE event_type IN ('purchase', 'signup')
         |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_su,
+        |    first_value(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_su
+        |  FROM events WHERE event_type IN ('purchase', 'signup')),
+        |d AS (
+        |  SELECT event_id, user_id, ts, event_type, prev_su, next_su,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_su)) AS BIGINT) AS dp,
+        |    CAST(FLOOR(epoch(next_su)) AS BIGINT) - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dn
+        |  FROM w)
+        |SELECT event_id, user_id, ts,
+        |  CASE
+        |    WHEN prev_su IS NOT NULL AND (next_su IS NULL OR dp <= dn)
+        |      THEN CASE WHEN dp <= 259200 THEN prev_su END
+        |    WHEN next_su IS NOT NULL
+        |      THEN CASE WHEN dn <= 259200 THEN next_su END
+        |  END AS nearest_signup_ts,
+        |  CASE
+        |    WHEN prev_su IS NOT NULL AND (next_su IS NULL OR dp <= dn)
+        |      THEN CASE WHEN dp <= 259200 THEN dp END
+        |    WHEN next_su IS NOT NULL
+        |      THEN CASE WHEN dn <= 259200 THEN dn END
+        |  END AS diff_seconds
+        |FROM d WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
