@@ -560,6 +560,37 @@ object Relational {
     * partition order; the exact-moment form is deterministic AND the
     * mergeable shape (moment sums combine associatively across shards —
     * the same reason sketches scale). */
+  /** Per-group least-squares regression — [[aggStats]] stops at
+    * correlation; the regression LINE (price ~ quantity per return
+    * flag) is the model a monitoring dashboard actually plots. Same
+    * float discipline: the five sufficient statistics are EXACT
+    * decimal sums (order-free across partial aggregation); slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept and R² derive from the
+    * same sums in one identically-ordered double expression per
+    * column, rounded at the end. One scan, one rollup — the 100 TB
+    * shape of any sufficient-statistics model fit. */
+  def aggLinreg(s: SparkSession, d: String): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    val m = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n = col("n_rows").cast("double")
+    def d8(c: Column): Column = c.cast("double")
+    val cxy = n * d8(col("sxy")) - d8(col("sx")) * d8(col("sy"))
+    val vx = n * d8(col("sxx")) - d8(col("sx")) * d8(col("sx"))
+    val vy = n * d8(col("syy")) - d8(col("sy")) * d8(col("sy"))
+    m.select(
+        col("l_returnflag"), col("n_rows"),
+        round(cxy / vx, 6).as("slope"),
+        round((d8(col("sy")) - cxy / vx * d8(col("sx"))) / n, 4).as("intercept"),
+        round(cxy * cxy / (vx * vy), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   def aggStats(s: SparkSession, d: String): DataFrame = {
     val x = dec2(col("l_quantity"))
     val y = dec2(col("l_extendedprice"))
@@ -1042,6 +1073,7 @@ object Relational {
     "agg_approx"     -> (aggApprox(_, _)),
     "agg_quantile_sketch" -> (aggQuantileSketch(_, _)),
     "agg_stats"      -> (aggStats(_, _)),
+    "agg_linreg"     -> (aggLinreg(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -1148,6 +1180,26 @@ object Relational {
         |  abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 2.0 AS p90_close,
         |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99)) <= 2.0 AS p99_close
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_linreg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) AS intercept,
+        |  ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_stats" ->
       """WITH m AS (
         |  SELECT l_returnflag,
