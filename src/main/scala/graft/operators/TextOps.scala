@@ -1068,6 +1068,45 @@ object TextOps {
       .limit(20)
   }
 
+  /** HELD-OUT perplexity with Jelinek-Mercer interpolation — the form
+    * quality scoring actually uses: [[perplexity]] scores docs under
+    * an LM trained on themselves (every bigram is seen by
+    * construction); production scores a corpus under an LM from
+    * DIFFERENT data, where unseen bigrams are routine and raw MLE
+    * assigns −∞. Train on even doc_ids, score odd ones;
+    * p = 0.7·p(w₂|w₁) + 0.3·p(w₂) + 1e-9 (bigram → unigram backoff →
+    * OOV floor). Scale shape: LM and vocab tables broadcast (bounded
+    * by train vocab²), scoring is one map-side pass over the held-out
+    * explode; per-doc NLL is a decimal sum of round-4 lls (the
+    * [[perplexity]] float discipline), so the oracle hash-matches. */
+  def perplexityHeld(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val cb = train.select(explode(shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val cp = cb.groupBy("w1").agg(sum("cb").as("cp"))
+    val lmB = cb.join(cp, "w1").select("bg", "cb", "cp")
+    val cu = train.select(explode(split(col("text"), " ")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("cu"))
+    val nw = cu.agg(sum("cu").as("nw"))
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(broadcast(lmB), Seq("bg"), "left")
+      .join(broadcast(cu), Seq("w2"), "left")
+      .crossJoin(broadcast(nw))
+      .select(col("doc_id"),
+        round(log(
+          coalesce(col("cb").cast("double") / col("cp"), lit(0.0)) * 0.7 +
+            coalesce(col("cu").cast("double") / col("nw"), lit(0.0)) * 0.3 +
+            lit(1e-9)), 4).cast("decimal(18,4)").as("ll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("ll"))).cast("double").as("total_nll"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- fuzzy (edit-distance) join
   /** Every name-key for edit-distance-1 blocking: the string itself plus
     * each delete-one-character variant. Two strings within Levenshtein
@@ -1233,7 +1272,8 @@ object TextOps {
     "llm_shard"         -> (shardManifest(_, _)),
     "llm_boilerplate"   -> (boilerplateStrip(_, _)),
     "llm_gopher"        -> (gopherRules(_, _)),
-    "llm_pmi"           -> (cooccurPmi(_, _))
+    "llm_pmi"           -> (cooccurPmi(_, _)),
+    "llm_perplexity_held" -> (perplexityHeld(_, _))
   )
 
   private val tokCte =
@@ -1346,6 +1386,38 @@ object TextOps {
         |FROM marked GROUP BY doc_id
         |HAVING SUM(CASE WHEN boiler THEN 1 ELSE 0 END) < COUNT(*)
         |ORDER BY doc_id""".stripMargin,
+    "llm_perplexity_held" ->
+      """WITH tb AS (
+        |  SELECT array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ') AS bg
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i)
+        |  WHERE doc_id % 2 = 0),
+        |cb AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
+        |  CAST(COUNT(*) AS BIGINT) AS cb FROM tb GROUP BY bg, string_split(bg, ' ')[1]),
+        |cp AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp FROM cb GROUP BY w1),
+        |lmb AS (SELECT bg, cb.cb, cp.cp FROM cb JOIN cp USING (w1)),
+        |cu AS (
+        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w2
+        |    FROM documents WHERE doc_id % 2 = 0) GROUP BY w2),
+        |nwt AS (SELECT CAST(SUM(cu) AS BIGINT) AS nw FROM cu),
+        |sb AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ') AS bg,
+        |    string_split(text, ' ')[i + 1] AS w2
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i)
+        |  WHERE doc_id % 2 = 1),
+        |scored AS (
+        |  SELECT sb.doc_id,
+        |    CAST(round(ln(
+        |      COALESCE(CAST(lmb.cb AS DOUBLE) / lmb.cp, 0.0) * 0.7 +
+        |      COALESCE(CAST(cu.cu AS DOUBLE) / nwt.nw, 0.0) * 0.3 +
+        |      1e-9), 4) AS DECIMAL(18,4)) AS ll
+        |  FROM sb LEFT JOIN lmb USING (bg) LEFT JOIN cu USING (w2), nwt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(-SUM(ll) AS DOUBLE) AS total_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_pmi" ->
       """WITH lists AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |words AS (
