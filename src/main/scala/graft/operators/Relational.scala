@@ -591,6 +591,40 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Welch's two-sample t — the inference companion to
+    * [[profileDrift]]: PSI says the DISTRIBUTION moved; the t-statistic
+    * says whether the MEAN moved more than sampling noise explains.
+    * Samples are the odd/even line numbers of each return-flag group
+    * (an exchangeable split, so |t| should hover near 0 — the spec's
+    * null-hypothesis pin). Same sufficient-statistics shape as
+    * [[aggLinreg]]: per (flag, side) exact decimal sums, then one
+    * ordered double expression; Welch variance
+    * s²ᵢ = (nᵢΣx² − (Σx)²)/(nᵢ(nᵢ−1)). */
+  def aggTtest(s: SparkSession, d: String): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    def side(v: Int, c: Column) = when(col("l_linenumber") % 2 === v, c)
+    // ONE conditional-aggregate pass — a per-side filter+join form
+    // would scan lineitem twice
+    val m = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(side(0, lit(1))).as("n0"), sum(side(0, x)).as("sx0"),
+        sum(side(0, x * x)).as("sxx0"),
+        count(side(1, lit(1))).as("n1"), sum(side(1, x)).as("sx1"),
+        sum(side(1, x * x)).as("sxx1"))
+    def d8(c: Column): Column = c.cast("double")
+    def mean(nC: String, sxC: String) = d8(col(sxC)) / d8(col(nC))
+    def varr(nC: String, sxC: String, sxxC: String) =
+      (d8(col(nC)) * d8(col(sxxC)) - d8(col(sxC)) * d8(col(sxC))) /
+        (d8(col(nC)) * (d8(col(nC)) - 1))
+    m.select(col("l_returnflag"), col("n0"), col("n1"),
+        round((mean("n0", "sx0") - mean("n1", "sx1")) /
+          sqrt(varr("n0", "sx0", "sxx0") / d8(col("n0")) +
+            varr("n1", "sx1", "sxx1") / d8(col("n1"))), 4).as("t_stat"))
+      .withColumn("significant", abs(col("t_stat")) > 1.96)
+      .orderBy("l_returnflag")
+  }
+
   def aggStats(s: SparkSession, d: String): DataFrame = {
     val x = dec2(col("l_quantity"))
     val y = dec2(col("l_extendedprice"))
@@ -1074,6 +1108,7 @@ object Relational {
     "agg_quantile_sketch" -> (aggQuantileSketch(_, _)),
     "agg_stats"      -> (aggStats(_, _)),
     "agg_linreg"     -> (aggLinreg(_, _)),
+    "agg_ttest"      -> (aggTtest(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -1180,6 +1215,24 @@ object Relational {
         |  abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 2.0 AS p90_close,
         |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99)) <= 2.0 AS p99_close
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_ttest" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(CASE WHEN l_linenumber % 2 = 0 THEN 1 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sx0,
+        |    CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sxx0,
+        |    CAST(COUNT(CASE WHEN l_linenumber % 2 = 1 THEN 1 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN l_linenumber % 2 = 1 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN l_linenumber % 2 = 1 THEN CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sxx1
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n0, n1,
+        |  ROUND((sx0 / n0 - sx1 / n1) /
+        |    sqrt((n0*sxx0 - sx0*sx0) / (n0*(n0 - 1)) / n0
+        |         + (n1*sxx1 - sx1*sx1) / (n1*(n1 - 1)) / n1), 4) AS t_stat,
+        |  abs(ROUND((sx0 / n0 - sx1 / n1) /
+        |    sqrt((n0*sxx0 - sx0*sx0) / (n0*(n0 - 1)) / n0
+        |         + (n1*sxx1 - sx1*sx1) / (n1*(n1 - 1)) / n1), 4)) > 1.96 AS significant
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_linreg" ->
       """WITH m AS (
         |  SELECT l_returnflag,

@@ -124,6 +124,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t-test: an exchangeable odd/even line-number split is not significant") {
+    // both samples draw from the same distribution by construction, so
+    // |t| must sit inside the acceptance region for every group — a
+    // test that rejects on exchangeable splits is miscalibrated
+    val rows = graft.operators.Relational.aggTtest(spark, sf)
+      .select("l_returnflag", "t_stat", "significant")
+      .as[(String, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (f, t, sig) =>
+      assert(!sig && math.abs(t) < 1.96, s"flag $f t=$t flagged on a null split")
+    }
+  }
+
   test("dedup weights: total sampling mass equals the number of clusters") {
     // 1/cluster_size summed over members is exactly 1 per cluster —
     // soft dedup conserves one document's worth of mass per duplicate set
