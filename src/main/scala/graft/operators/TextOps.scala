@@ -1068,6 +1068,31 @@ object TextOps {
       .limit(20)
   }
 
+  /** Per-document unigram entropy — the distribution-AWARE quality
+    * feature: [[quality]]'s diversity ratio counts distinct words,
+    * which misses a doc that is 90 % one word plus a long unique tail;
+    * H = −Σ (c/n)·ln(c/n) weighs the whole distribution (low entropy
+    * = templated/repetitive, the Gopher-style signal). Shuffle
+    * discipline: (doc_id, word) count partials (map-side combined),
+    * then per-(doc, word) terms round to 8 decimals and sum as DECIMAL
+    * per doc — the cross-term sum cannot depend on aggregation order,
+    * so the oracle hash-matches. */
+  def unigramEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), size(words(col("text"))).as("n_words"),
+        explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "n_words", "word")
+      .agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("n_words")
+    counts
+      .select(col("doc_id"), col("n_words"),
+        round(p * log(p), 8).cast("decimal(18,8)").as("term"))
+      .groupBy("doc_id", "n_words")
+      .agg((-sum(col("term"))).cast("double").as("entropy"))
+      .select("doc_id", "n_words", "entropy")
+      .orderBy("doc_id")
+  }
+
   /** HELD-OUT perplexity with Jelinek-Mercer interpolation — the form
     * quality scoring actually uses: [[perplexity]] scores docs under
     * an LM trained on themselves (every bigram is seen by
@@ -1273,7 +1298,8 @@ object TextOps {
     "llm_boilerplate"   -> (boilerplateStrip(_, _)),
     "llm_gopher"        -> (gopherRules(_, _)),
     "llm_pmi"           -> (cooccurPmi(_, _)),
-    "llm_perplexity_held" -> (perplexityHeld(_, _))
+    "llm_perplexity_held" -> (perplexityHeld(_, _)),
+    "llm_entropy"       -> (unigramEntropy(_, _))
   )
 
   private val tokCte =
@@ -1386,6 +1412,22 @@ object TextOps {
         |FROM marked GROUP BY doc_id
         |HAVING SUM(CASE WHEN boiler THEN 1 ELSE 0 END) < COUNT(*)
         |ORDER BY doc_id""".stripMargin,
+    "llm_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_words, word, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY doc_id, n_words, word),
+        |terms AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(round(CAST(c AS DOUBLE) / n_words
+        |               * ln(CAST(c AS DOUBLE) / n_words), 8)
+        |      AS DECIMAL(18,8)) AS term
+        |  FROM c)
+        |SELECT doc_id, n_words, CAST(-SUM(term) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY doc_id, n_words ORDER BY doc_id""".stripMargin,
     "llm_perplexity_held" ->
       """WITH tb AS (
         |  SELECT array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ') AS bg
