@@ -591,6 +591,105 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Cumulative Poisson(1) CDF quantized to 16-bit integer thresholds —
+    * the single source for [[aggBootstrap]]'s Spark plan AND its
+    * DuckDB oracle (embedding the same longs in both sides removes the
+    * float-compare hazard entirely: resample weights are decided by
+    * integer comparisons on a 16-bit md5 value). */
+  private[operators] val PoisCdf16: Seq[Long] = {
+    val e1 = math.exp(-1)
+    val ps = (0 to 5).map(k => e1 / (1 to k).product)
+    ps.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * 65536).toLong)
+  }
+
+  /** Poisson bootstrap — THE resampling technique that works at 100 TB:
+    * a classical bootstrap draws n rows with replacement (a global
+    * operation no cluster can do cheaply); Poisson bootstrap gives each
+    * row an independent Poisson(1) weight per replicate, so all B
+    * resamples materialize as B weight columns in ONE scan and the
+    * standard error of the mean falls out of the replicate spread
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012). Weights are deterministic: 16-bit md5 of
+    * (orderkey, linenumber, replicate) compared against the integer
+    * CDF thresholds above — every engine and every re-run draws the
+    * identical resamples, which is what lets DuckDB replay the whole
+    * estimator and hash-match. B = 8 replicates; per group the
+    * aggregate carries 2B+2 sufficient statistics, nothing else. */
+  /** Replicate count shared by [[aggBootstrap]] and its oracle. */
+  private val BootReps = 8
+
+  def aggBootstrap(s: SparkSession, d: String): DataFrame = {
+    val B = BootReps
+    val x = dec2(col("l_quantity"))
+    def h16(b: Int) = conv(substring(md5(concat(
+      col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"), lit(s"_$b")).cast("binary")),
+      1, 4), 16, 10).cast("long")
+    def kOf(b: Int) = PoisCdf16.zipWithIndex
+      .foldRight(lit(PoisCdf16.size): Column) { case ((t, k), rest) =>
+        when(h16(b) < t, k).otherwise(rest)
+      }
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(x).as("sx")) ++
+        (0 until B).flatMap { b =>
+          Seq(sum(x * kOf(b)).as(s"sw$b"),
+            sum(kOf(b).cast("long")).as(s"c$b"))
+        }
+    val m = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+    val means = (0 until B).map(b => col(s"sw$b").cast("double") / col(s"c$b"))
+    val mbar = means.reduce(_ + _) / B
+    val se = sqrt(means.map(mb => (mb - mbar) * (mb - mbar))
+      .reduce(_ + _) / (B - 1))
+    val meanObs = col("sx").cast("double") / col("n")
+    m.select(col("l_returnflag"), col("n").as("n_rows"),
+        round(meanObs, 4).as("mean_obs"),
+        round(se, 6).as("boot_se"),
+        round(meanObs - lit(1.96) * se, 4).as("ci_lo"),
+        round(meanObs + lit(1.96) * se, 4).as("ci_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB replay of [[aggBootstrap]] — same thresholds, same
+    * expression order, generated from the same constants. */
+  private def bootstrapOracle(bReps: Int): String = {
+    def h16(b: Int) =
+      s"CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '_$b'), 1, 4) AS BIGINT)"
+    def kOf(b: Int) = {
+      val cases = PoisCdf16.zipWithIndex
+        .map { case (t, k) => s"WHEN ${h16(b)} < $t THEN $k" }
+        .mkString(" ")
+      s"(CASE $cases ELSE ${PoisCdf16.size} END)"
+    }
+    val aggCols = (0 until bReps).map { b =>
+      s"""    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * ${kOf(b)}) AS DOUBLE) AS sw$b,
+         |    CAST(SUM(${kOf(b)}) AS BIGINT) AS c$b""".stripMargin
+    }.mkString(",\n")
+    val meanCols = (0 until bReps).map(b => s"    sw$b / c$b AS m$b").mkString(",\n")
+    val mbar = s"(${(0 until bReps).map(b => s"m$b").mkString(" + ")}) / ${bReps}"
+    val sq = (0 until bReps).map(b => s"(m$b - mbar) * (m$b - mbar)").mkString(" + ")
+    s"""WITH agg AS (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+       |$aggCols
+       |  FROM lineitem GROUP BY l_returnflag),
+       |means AS (
+       |  SELECT l_returnflag, n, sx,
+       |$meanCols
+       |  FROM agg),
+       |mb AS (
+       |  SELECT *, $mbar AS mbar FROM means),
+       |se AS (
+       |  SELECT *, sqrt(($sq) / ${bReps - 1}) AS se FROM mb)
+       |SELECT l_returnflag, n AS n_rows,
+       |  ROUND(sx / n, 4) AS mean_obs,
+       |  ROUND(se, 6) AS boot_se,
+       |  ROUND(sx / n - 1.96 * se, 4) AS ci_lo,
+       |  ROUND(sx / n + 1.96 * se, 4) AS ci_hi
+       |FROM se ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Welch's two-sample t — the inference companion to
     * [[profileDrift]]: PSI says the DISTRIBUTION moved; the t-statistic
     * says whether the MEAN moved more than sampling noise explains.
@@ -1109,6 +1208,7 @@ object Relational {
     "agg_stats"      -> (aggStats(_, _)),
     "agg_linreg"     -> (aggLinreg(_, _)),
     "agg_ttest"      -> (aggTtest(_, _)),
+    "agg_bootstrap"  -> (aggBootstrap(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -1215,6 +1315,7 @@ object Relational {
         |  abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 2.0 AS p90_close,
         |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99)) <= 2.0 AS p99_close
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_bootstrap" -> bootstrapOracle(bReps = BootReps),
     "agg_ttest" ->
       """WITH m AS (
         |  SELECT l_returnflag,

@@ -137,6 +137,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bootstrap: SE tracks the analytic sigma/sqrt(n); CI brackets the mean") {
+    val boot = graft.operators.Relational.aggBootstrap(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    // analytic SE per group from exact moments
+    val analytic = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        stddev(col("l_quantity")).as("sd"))
+      .as[(String, Long, Double)].collect()
+      .map { case (f, n, sd) => f -> sd / math.sqrt(n.toDouble) }.toMap
+    boot.foreach { case (f, n, mean, se, lo, hi) =>
+      assert(lo <= mean && mean <= hi, s"$f CI [$lo,$hi] excludes mean $mean")
+      val a = analytic(f)
+      // 8 replicates is a noisy SE estimate; consistency, not precision
+      assert(se > a / 3 && se < a * 3, s"$f boot_se=$se vs analytic=$a")
+    }
+  }
+
   test("dedup weights: total sampling mass equals the number of clusters") {
     // 1/cluster_size summed over members is exactly 1 per cluster —
     // soft dedup conserves one document's worth of mass per duplicate set
