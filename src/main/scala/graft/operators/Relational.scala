@@ -465,6 +465,53 @@ object Relational {
     * user_id — event payloads never shuffle, only (user, ts) pairs, and
     * the funnel output is a single row of counts however large the
     * event log is. */
+  /** Truncated EWMA — exponential smoothing as a WINDOW expression:
+    * the textbook recurrence y_t = αx_t + (1−α)y_{t−1} is inherently
+    * sequential (no engine parallelizes it); truncating to 8 lags
+    * bounds the state (weights below 2⁻⁸ are noise) and turns it into
+    * a fixed-order weighted sum over lag() columns — embarrassingly
+    * parallel, and the honest scale contract. α = 1/2 makes every
+    * weight 2^-(j+1), EXACTLY representable, so the only float ops are
+    * exact scalings plus one ordered sum chain; leading rows normalize
+    * over the lags that exist. All 8 lags share one window spec = one
+    * Window operator, one exchange. */
+  def winEwma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lags = (0 to 7).map(j => lag(col("value"), j).over(w))
+    val weights = (0 to 7).map(j => math.pow(0.5, j + 1))
+    val num = lags.zip(weights)
+      .map { case (l, wt) => coalesce(l * lit(wt), lit(0.0)) }
+      .reduce(_ + _)
+    val den = lags.zip(weights)
+      .map { case (l, wt) => when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    Tables.events(s, d).filter(col("user_id") < 10)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(num / den, 4).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the sequence model behind "what do users do AFTER
+    * X" product analytics ([[evFunnel]] checks ONE fixed path; the
+    * matrix scores every pair). One lead() window per user + one
+    * (from, to) rollup; row-normalization rides a window over the
+    * aggregated matrix (K² rows), never the events. Transition
+    * probability = count/row-total, a single ordered double division,
+    * so the oracle hash-matches. */
+  def evMarkov(s: SparkSession, d: String): DataFrame = {
+    val nxt = lead(col("event_type"), 1).over(
+      Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    Tables.events(s, d)
+      .select(col("event_type").as("from_type"), nxt.as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   def evFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val su = ev.filter(col("event_type") === "signup")
@@ -1158,6 +1205,8 @@ object Relational {
     "ts_interpolate" -> (tsInterpolate(_, _)),
     "agg_histogram"  -> (aggHistogram(_, _)),
     "ev_funnel"      -> (evFunnel(_, _)),
+    "ev_markov"      -> (evMarkov(_, _)),
+    "win_ewma"       -> (winEwma(_, _)),
     "dq_checks"      -> (dqChecks(_, _)),
     // the hot-key mitigation DECLARED through the gate: salting is plan-
     // internal (content-derived, deterministic), so the output — and its
@@ -1316,6 +1365,26 @@ object Relational {
         |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99)) <= 2.0 AS p99_close
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_bootstrap" -> bootstrapOracle(bReps = BootReps),
+    "win_ewma" ->
+      """SELECT event_id, user_id, value,
+        |  ROUND((COALESCE(lag(value, 0) OVER win * 0.5, 0.0) + COALESCE(lag(value, 1) OVER win * 0.25, 0.0) + COALESCE(lag(value, 2) OVER win * 0.125, 0.0) + COALESCE(lag(value, 3) OVER win * 0.0625, 0.0) + COALESCE(lag(value, 4) OVER win * 0.03125, 0.0) + COALESCE(lag(value, 5) OVER win * 0.015625, 0.0) + COALESCE(lag(value, 6) OVER win * 0.0078125, 0.0) + COALESCE(lag(value, 7) OVER win * 0.00390625, 0.0))
+        |    / (CASE WHEN lag(value, 0) OVER win IS NOT NULL THEN 0.5 ELSE 0.0 END + CASE WHEN lag(value, 1) OVER win IS NOT NULL THEN 0.25 ELSE 0.0 END + CASE WHEN lag(value, 2) OVER win IS NOT NULL THEN 0.125 ELSE 0.0 END + CASE WHEN lag(value, 3) OVER win IS NOT NULL THEN 0.0625 ELSE 0.0 END + CASE WHEN lag(value, 4) OVER win IS NOT NULL THEN 0.03125 ELSE 0.0 END + CASE WHEN lag(value, 5) OVER win IS NOT NULL THEN 0.015625 ELSE 0.0 END + CASE WHEN lag(value, 6) OVER win IS NOT NULL THEN 0.0078125 ELSE 0.0 END + CASE WHEN lag(value, 7) OVER win IS NOT NULL THEN 0.00390625 ELSE 0.0 END), 4) AS ewma
+        |FROM events WHERE user_id < 10
+        |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "ev_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     "agg_ttest" ->
       """WITH m AS (
         |  SELECT l_returnflag,

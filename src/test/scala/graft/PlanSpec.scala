@@ -164,6 +164,19 @@ class PlanSpec extends SparkSpec {
       s"expected 1 Window operator, got $windows:\n" + finalPlan.take(3000))
   }
 
+  test("win_ewma: all eight lag columns fuse into one Window operator") {
+    val df = graft.operators.Relational.winEwma(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    val windows = "Window \\[".r.findAllIn(finalPlan).length
+    assert(windows == 1,
+      s"expected 1 Window operator, got $windows:\n" + finalPlan.take(3000))
+  }
+
   test("sql_q17: correlated aggregate subqueries decorrelate into joins") {
     val plan = executedPlan(SqlQueries.queries("sql_q17")(spark, sf))
     // the per-part COUNT and SUM subqueries must rewrite to one aggregate
