@@ -697,6 +697,128 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Chi-square test of independence over the returnflag × linestatus
+    * contingency table, reported PER CELL (observed, expected, χ²
+    * contribution) rather than as one scalar — the per-cell view is
+    * what a data-quality dashboard plots, and it sidesteps the only
+    * float hazard (a cross-engine sum of 6 doubles in unspecified
+    * order). Scale shape: the only wide operation is the first
+    * `groupBy`, which reduces 100 TB of fact rows to |flags|×|statuses|
+    * cells; the three marginal totals are windows over that tiny
+    * aggregated frame, so they cost nothing at any scale. All marginals
+    * are exact longs; doubles appear only in the final per-row closed
+    * form, identically ordered in both engines. */
+  def aggChi2(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    val e = (col("rt") * col("ct")).cast("double") / col("nt")
+    val dev = col("n").cast("double") - col("expected_raw")
+    cells
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        sum("n").over(Window.partitionBy("l_returnflag")).as("rt"),
+        sum("n").over(Window.partitionBy("l_linestatus")).as("ct"),
+        sum("n").over(Window.partitionBy()).as("nt"))
+      .withColumn("expected_raw", e)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(col("expected_raw"), 4).as("expected"),
+        round(dev * dev / col("expected_raw"), 6).as("contrib"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Autocorrelation of each user's value series at lags 1–3 — the
+    * seasonality/trend probe behind forecast-readiness checks. The
+    * estimator is Pearson correlation over (vₜ, vₜ₊ₖ) pairs, assembled
+    * from EXACT decimal sufficient statistics (the same order-free
+    * moment-sum discipline as [[aggStats]]/[[aggLinreg]]). All three
+    * lag columns share ONE window spec (one sort, one exchange — the
+    * [[winEwma]] lesson); `stack` then pivots lag to rows so one hash
+    * aggregate computes all (user, lag) cells. Per-user windows keep
+    * the sort partition-local — no global sort at any scale. */
+  def tsAcf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val v = dec2(col("value"))
+    val base = Tables.events(s, d).filter(col("user_id") < 20)
+      .select(col("user_id"), v.as("v"),
+        lead(v, 1).over(w).as("l1"),
+        lead(v, 2).over(w).as("l2"),
+        lead(v, 3).over(w).as("l3"))
+      .selectExpr("user_id",
+        "stack(3, 1, v, l1, 2, v, l2, 3, v, l3) as (lag, a, b)")
+      .filter(col("b").isNotNull)
+    val m = base.groupBy("user_id", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+    val n = col("n_pairs").cast("double")
+    def d8(c: String): Column = col(c).cast("double")
+    m.select(col("user_id"), col("lag"), col("n_pairs"),
+        round((n * d8("sab") - d8("sa") * d8("sb")) /
+          sqrt((n * d8("saa") - d8("sa") * d8("sa")) *
+               (n * d8("sbb") - d8("sb") * d8("sb"))), 6).as("acf"))
+      .orderBy("user_id", "lag")
+  }
+
+  /** Gini concentration coefficient of order value per status — the
+    * inequality metric a mixture-balancing pipeline reports per data
+    * source. Closed form over the ascending sort:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx). The rank is a per-group
+    * window over a UNIQUE order (price, orderkey — the [[winNtile]]
+    * determinism rule) and both Σ terms are exact decimals (rank ×
+    * decimal stays decimal), so the only doubles are the final closed
+    * form. One partition-local sort + one rollup; the group count is
+    * the output size regardless of input volume. */
+  def aggGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = Tables.orders(s, d)
+      .select(col("o_orderstatus"), dec2(col("o_totalprice")).as("x"),
+        row_number().over(w).cast("long").as("i"))
+    val m = ranked.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sx"), sum(col("i") * col("x")).as("six"))
+    val n = col("n_rows").cast("double")
+    m.select(col("o_orderstatus"), col("n_rows"),
+        round((lit(2.0) * col("six").cast("double") -
+          (n + 1.0) * col("sx").cast("double")) /
+          (n * col("sx").cast("double")), 6).as("gini"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Rolling z-score anomaly detection: each event scored against the
+    * mean/stddev of its user's PRECEDING 10 values (frame excludes the
+    * current row — no self-contamination), flagging |z| > 2.5 with at
+    * least 5 history rows. The monitoring primitive for metric streams.
+    * All frame aggregates are exact decimal sums sharing ONE window
+    * spec (single partition-local sort carries n/Σx/Σx² together);
+    * mean/variance come from the closed form in identically-ordered
+    * doubles, so the emitted anomaly set and scores hash-match. At
+    * scale this is one window over the event stream — no join, no
+    * second pass. */
+  def tsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-10, -1)
+    val v = dec2(col("value"))
+    val scored = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        count(v).over(w).as("n_hist"),
+        sum(v).over(w).as("sw"),
+        sum(v * v).over(w).as("sxx"))
+    val n = col("n_hist").cast("double")
+    val mean = col("sw").cast("double") / n
+    val sd = sqrt((n * col("sxx").cast("double") -
+      col("sw").cast("double") * col("sw").cast("double")) /
+      (n * (n - 1.0)))
+    scored
+      .filter(col("n_hist") >= 5)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("n_hist"), round((col("value") - mean) / sd, 4).as("z"))
+      .filter(abs(col("z")) > 2.5)
+      .orderBy("event_id")
+  }
+
   /** DuckDB replay of [[aggBootstrap]] — same thresholds, same
     * expression order, generated from the same constants. */
   private def bootstrapOracle(bReps: Int): String = {
@@ -1258,6 +1380,10 @@ object Relational {
     "agg_linreg"     -> (aggLinreg(_, _)),
     "agg_ttest"      -> (aggTtest(_, _)),
     "agg_bootstrap"  -> (aggBootstrap(_, _)),
+    "agg_chi2"       -> (aggChi2(_, _)),
+    "ts_acf"         -> (tsAcf(_, _)),
+    "agg_gini"       -> (aggGini(_, _)),
+    "ts_anomaly"     -> (tsAnomaly(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -1365,6 +1491,86 @@ object Relational {
         |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99)) <= 2.0 AS p99_close
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_bootstrap" -> bootstrapOracle(bReps = BootReps),
+    "agg_chi2" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |m AS (
+        |  SELECT l_returnflag, l_linestatus, n,
+        |    CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS rt,
+        |    CAST(SUM(n) OVER (PARTITION BY l_linestatus) AS BIGINT) AS ct,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS nt
+        |  FROM cells),
+        |x AS (
+        |  SELECT l_returnflag, l_linestatus, n,
+        |    CAST(rt * ct AS DOUBLE) / nt AS expected_raw
+        |  FROM m)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  ROUND(expected_raw, 4) AS expected,
+        |  ROUND((CAST(n AS DOUBLE) - expected_raw)
+        |        * (CAST(n AS DOUBLE) - expected_raw) / expected_raw, 6) AS contrib
+        |FROM x ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "ts_acf" ->
+      """WITH seq AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    lead(CAST(value AS DECIMAL(18,2)), 1) OVER w AS l1,
+        |    lead(CAST(value AS DECIMAL(18,2)), 2) OVER w AS l2,
+        |    lead(CAST(value AS DECIMAL(18,2)), 3) OVER w AS l3
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT user_id, 1 AS lag, v AS a, l1 AS b FROM seq
+        |  UNION ALL
+        |  SELECT user_id, 2 AS lag, v AS a, l2 AS b FROM seq
+        |  UNION ALL
+        |  SELECT user_id, 3 AS lag, v AS a, l3 AS b FROM seq),
+        |m AS (
+        |  SELECT user_id, lag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+        |    CAST(SUM(a * b) AS DOUBLE) AS sab,
+        |    CAST(SUM(a * a) AS DOUBLE) AS saa,
+        |    CAST(SUM(b * b) AS DOUBLE) AS sbb
+        |  FROM p WHERE b IS NOT NULL GROUP BY user_id, lag)
+        |SELECT user_id, CAST(lag AS INT) AS lag, n_pairs,
+        |  ROUND((n * sab - sa * sb) /
+        |    sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS acf
+        |FROM m ORDER BY user_id, lag""".stripMargin,
+    "agg_gini" ->
+      """WITH ranked AS (
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(i * x) AS DOUBLE) AS six
+        |  FROM ranked GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n_rows,
+        |  ROUND((2.0 * six - (n + 1.0) * sx) / (n * sx), 6) AS gini
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
+    "ts_anomaly" ->
+      """WITH scored AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(COUNT(CAST(value AS DECIMAL(18,2))) OVER w AS BIGINT) AS n_hist,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sw,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS sxx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_id, user_id, value, n_hist,
+        |    ROUND((value - CAST(sw AS DOUBLE) / CAST(n_hist AS DOUBLE)) /
+        |      sqrt((CAST(n_hist AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) /
+        |           (CAST(n_hist AS DOUBLE) * (CAST(n_hist AS DOUBLE) - 1.0))), 4) AS z
+        |  FROM scored WHERE n_hist >= 5)
+        |SELECT event_id, user_id, value, n_hist, z
+        |FROM z WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
     "win_ewma" ->
       """SELECT event_id, user_id, value,
         |  ROUND((COALESCE(lag(value, 0) OVER win * 0.5, 0.0) + COALESCE(lag(value, 1) OVER win * 0.25, 0.0) + COALESCE(lag(value, 2) OVER win * 0.125, 0.0) + COALESCE(lag(value, 3) OVER win * 0.0625, 0.0) + COALESCE(lag(value, 4) OVER win * 0.03125, 0.0) + COALESCE(lag(value, 5) OVER win * 0.015625, 0.0) + COALESCE(lag(value, 6) OVER win * 0.0078125, 0.0) + COALESCE(lag(value, 7) OVER win * 0.00390625, 0.0))

@@ -1093,6 +1093,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Query terms + Okapi parameters shared by [[bm25]] and its oracle —
+    * ONE definition so the Spark plan and the DuckDB SQL can never
+    * drift (k1 appears pre-added as k1+1 = 2.2 so both engines fold
+    * the same literal). */
+  private[operators] val Bm25Terms = Seq("dup", "vector", "spark")
+  private val Bm25K1   = "1.2"   // term-frequency saturation
+  private val Bm25K1p1 = "2.2"   // k1 + 1, pre-folded
+  private val Bm25B    = "0.75"  // length normalization weight
+  private val Bm25BC   = "0.25"  // 1 - b, pre-folded
+
+  /** Okapi BM25 relevance of every document to a fixed term query —
+    * the classical retrieval scorer a curation pipeline uses for
+    * quality-proxy ranking and RAG candidate selection. Plan shape is
+    * the 100 TB one: the explode is filtered to the query terms BEFORE
+    * the (doc,term) aggregate (the shuffle carries matched tokens only,
+    * never the corpus token stream); df and the global (N, Σdl) ride
+    * broadcast 1-row/3-row joins onto the per-doc rows. Per-term BM25
+    * contributions pivot into fixed columns so the final score is a
+    * left-associated 3-term sum — identical fold order in both engines,
+    * which is what lets a double-valued score hash-match (see the
+    * round-4 float-discipline notes). */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val k1 = lit(Bm25K1.toDouble); val k1p1 = lit(Bm25K1p1.toDouble)
+    val b = lit(Bm25B.toDouble); val bc = lit(Bm25BC.toDouble)
+    val docs = Tables.documents(s, d)
+    // dl rides the explode so no per-doc join is needed afterwards
+    val tf = docs
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"),
+        explode(words(col("text"))).as("w"))
+      .filter(col("w").isInCollection(Bm25Terms))
+      .groupBy("doc_id", "dl", "w")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(words(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + lit(0.5)) + 1.0)
+    val contrib = idf * (col("tf") * k1p1) /
+      (col("tf") + k1 * (bc + b * col("dl") / avgdl))
+    def termCol(t: String): Column =
+      coalesce(max(when(col("w") === t, col("contrib"))), lit(0.0))
+    tf.join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("w"), contrib.as("contrib"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(Bm25Terms.map(termCol).reduceLeft(_ + _), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   /** HELD-OUT perplexity with Jelinek-Mercer interpolation — the form
     * quality scoring actually uses: [[perplexity]] scores docs under
     * an LM trained on themselves (every bigram is seen by
@@ -1299,7 +1351,8 @@ object TextOps {
     "llm_gopher"        -> (gopherRules(_, _)),
     "llm_pmi"           -> (cooccurPmi(_, _)),
     "llm_perplexity_held" -> (perplexityHeld(_, _)),
-    "llm_entropy"       -> (unigramEntropy(_, _))
+    "llm_entropy"       -> (unigramEntropy(_, _)),
+    "llm_bm25"          -> (bm25(_, _))
   )
 
   private val tokCte =
@@ -1807,6 +1860,34 @@ object TextOps {
         |  round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.05
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "llm_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      def tc(t: String) =
+        s"COALESCE(MAX(CASE WHEN w = '$t' THEN contrib END), 0.0)"
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM lens),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE w IN ($terms) GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+         |c AS (
+         |  SELECT tf.doc_id, tf.w,
+         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * $Bm25K1p1)
+         |    / (tf + $Bm25K1 * ($Bm25BC + $Bm25B * dl
+         |                       / (CAST(sum_dl AS DOUBLE) / n_docs))) AS contrib
+         |  FROM tf JOIN dfreq USING (w) JOIN lens USING (doc_id)
+         |  CROSS JOIN stats)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  ROUND(${Bm25Terms.map(tc).mkString("\n       + ")}, 4) AS bm25
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }
