@@ -405,6 +405,37 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Link prediction by common-neighbor Jaccard: for every NON-adjacent
+    * node pair sharing ≥1 neighbor, score = |N(u)∩N(w)| / |N(u)∪N(w)|
+    * — the classic "these two near-dup clusters are about to merge"
+    * signal (Liben-Nowell & Kleinberg '03). Candidate pairs come from
+    * the wedge join (u–v)(v–w), the [[triangleCount]] shape — an
+    * equi-join on the shared neighbor, NEVER all-pairs, so candidates
+    * are bounded by Σ deg² like triangle counting. Adjacent pairs drop
+    * via a LEFT ANTI join on the (a<b)-oriented edge list; degrees
+    * broadcast. The score is one double division of exact longs. */
+  def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val e = TextOps.jaccardPairs(s, d, 150)
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint() // wedge self-join + anti-join reuse one build
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cand = sym.as("x").join(sym.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("u"), col("y.src").as("w"))
+      .agg(count(lit(1)).as("cn"))
+    cand
+      .join(e, cand("u") === e("a") && cand("w") === e("b"), "left_anti")
+      .join(broadcast(deg.select(col("src").as("u"), col("deg").as("deg_u"))), "u")
+      .join(broadcast(deg.select(col("src").as("w"), col("deg").as("deg_w"))), "w")
+      .select(col("u"), col("w"), col("cn"), col("deg_u"), col("deg_w"),
+        round(col("cn").cast("double") /
+          (col("deg_u") + col("deg_w") - col("cn")), 4).as("score"))
+      .orderBy("u", "w")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_cc"     -> (dedupClusters(_, _)),
     "llm_dedup_weights" -> (dedupWeights(_, _)),
@@ -413,7 +444,8 @@ object GraphOps {
     "graph_triangles"  -> (triangleCount(_, _)),
     "graph_kcore"      -> (kCoreDocs(_, _)),
     "graph_communities" -> (communitiesDocs(_, _)),
-    "graph_bfs"        -> (bfsDocs(_, _))
+    "graph_bfs"        -> (bfsDocs(_, _)),
+    "graph_linkpred"   -> (linkPrediction(_, _))
   )
 
   /** DuckDB replay of [[communitiesDocs]]: the llm_dedup_cc shingle
@@ -500,6 +532,40 @@ object GraphOps {
   def oracles: Map[String, String] = Map(
     "graph_communities" -> lpaOracle(rounds = 3),
     "graph_bfs" -> bfsOracle(rounds = 4),
+    "graph_linkpred" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.02),
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY src),
+        |cand AS (
+        |  SELECT x.src AS u, y.src AS w, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src
+        |  GROUP BY 1, 2),
+        |nonadj AS (
+        |  SELECT u, w, cn FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = u AND e.b = w))
+        |SELECT u, w, cn, du.deg AS deg_u, dw.deg AS deg_w,
+        |  ROUND(CAST(cn AS DOUBLE) / (du.deg + dw.deg - cn), 4) AS score
+        |FROM nonadj
+        |JOIN deg du ON du.src = u JOIN deg dw ON dw.src = w
+        |ORDER BY u, w""".stripMargin,
     "llm_dedup_cc" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id, sh FROM (

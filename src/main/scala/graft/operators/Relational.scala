@@ -819,6 +819,82 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Mann-Whitney U rank-sum test (even- vs odd-linenumber halves of
+    * each return flag — the same synthetic A/B split as [[aggTtest]],
+    * which assumes normality; this is its nonparametric partner).
+    * Everything stays INTEGER until the final z: doubled average ranks
+    * (2·avgrank = 2·minrank + ties − 1 is always a whole number), the
+    * doubled U statistic, and the Σ(t³−t) tie correction, which folds
+    * to a plain row-level sum of (tie²−1). Ranks and tie counts share
+    * ONE (flag, quantity) sort — the peer frame supplies tie counts
+    * without a second exchange. The shuffle carries the fact rows
+    * once; everything after the rollup is per-group closed form. */
+  def aggMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("l_returnflag").orderBy("q")
+    val peers = ord.rangeBetween(Window.currentRow, Window.currentRow)
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").as("q"),
+        (col("l_linenumber") % 2).as("grp"))
+      .select(col("l_returnflag"), col("grp"),
+        rank().over(ord).cast("long").as("rk"),
+        count(lit(1)).over(peers).as("tie"))
+    val m = ranked.groupBy("l_returnflag")
+      .agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("grp") === 0, lit(2L) * col("rk") + col("tie") - 1L)
+          .otherwise(0L)).as("r2a"),
+        sum(col("tie") * col("tie") - lit(1L)).as("tsum"))
+    def d8(c: String): Column = col(c).cast("double")
+    val n = d8("na") + d8("nb")
+    val u2a = col("r2a") - col("na") * (col("na") + 1L)
+    val z = (u2a.cast("double") - d8("na") * d8("nb")) /
+      sqrt(d8("na") * d8("nb") / 3.0 *
+        ((n + 1.0) - d8("tsum") / (n * (n - 1.0))))
+    m.select(col("l_returnflag"), col("na"), col("nb"),
+        (u2a.cast("double") / 2.0).as("u_even"),
+        round(z, 4).as("z"),
+        (abs(round(z, 4)) > 1.96).as("significant"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov drift per source (each source's
+    * doc-length distribution vs the POOLED REST) — the distribution-
+    * shape partner to [[profileDrift]]'s binned PSI: KS needs no bin
+    * choice and catches shifts PSI's 10 bins smear out. Entirely
+    * integer until the last division: D = max|F_s−F_rest| is maximized
+    * as max|cs·n_rest − c_rest·n_s| over the merged value grid, exact
+    * longs. Everything after the first groupBy runs on the VALUE
+    * HISTOGRAM (|sources| × |distinct lengths|), so the unpartitioned
+    * cumulative window and the grid cross join cost histogram-size,
+    * never corpus-size — the same tiny-aggregated-frame contract as
+    * [[aggChi2]]'s marginals. */
+  def profileKs(s: SparkSession, d: String): DataFrame = {
+    val vc = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val gt = vc.groupBy("v").agg(sum("c").as("cv"))
+      .select(col("v"), sum("cv").over(Window.orderBy("v")).as("ct"))
+    val srcs = vc.groupBy("source").agg(sum("c").as("n_s"))
+    val tot = vc.agg(sum("c").as("n_all"))
+    val cum = srcs.crossJoin(gt)
+      .join(vc, Seq("source", "v"), "left")
+      .select(col("source"), col("n_s"), col("ct"),
+        sum(coalesce(col("c"), lit(0L)))
+          .over(Window.partitionBy("source").orderBy("v")).as("cs"))
+    val dev = abs(col("cs") * (col("n_all") - col("n_s")) -
+      (col("ct") - col("cs")) * col("n_s"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("source", "n_s", "n_all")
+      .agg(max(dev).as("d_num"))
+      .select(col("source"), col("n_s"),
+        (col("n_all") - col("n_s")).as("n_rest"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_s") * (col("n_all") - col("n_s"))).cast("double"), 6)
+          .as("ks"))
+      .orderBy("source")
+  }
+
   /** DuckDB replay of [[aggBootstrap]] — same thresholds, same
     * expression order, generated from the same constants. */
   private def bootstrapOracle(bReps: Int): String = {
@@ -1384,6 +1460,8 @@ object Relational {
     "ts_acf"         -> (tsAcf(_, _)),
     "agg_gini"       -> (aggGini(_, _)),
     "ts_anomaly"     -> (tsAnomaly(_, _)),
+    "agg_mannwhitney" -> (aggMannWhitney(_, _)),
+    "profile_ks"     -> (profileKs(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -1510,6 +1588,59 @@ object Relational {
         |  ROUND((CAST(n AS DOUBLE) - expected_raw)
         |        * (CAST(n AS DOUBLE) - expected_raw) / expected_raw, 6) AS contrib
         |FROM x ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_mannwhitney" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_linenumber % 2 AS grp,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag
+        |                      ORDER BY l_quantity) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |         AS BIGINT) AS tie
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN 2 * rk + tie - 1 ELSE 0 END)
+        |         AS BIGINT) AS r2a,
+        |    CAST(SUM(tie * tie - 1) AS BIGINT) AS tsum
+        |  FROM ranked GROUP BY l_returnflag),
+        |z AS (
+        |  SELECT l_returnflag, na, nb,
+        |    CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_even,
+        |    ROUND((CAST(r2a - na * (na + 1) AS DOUBLE)
+        |           - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) /
+        |      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 3.0 *
+        |        ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+        |         - CAST(tsum AS DOUBLE) /
+        |           ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 4)
+        |      AS z
+        |  FROM m)
+        |SELECT l_returnflag, na, nb, u_even, z, abs(z) > 1.96 AS significant
+        |FROM z ORDER BY l_returnflag""".stripMargin,
+    "profile_ks" ->
+      """WITH vc AS (
+        |  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |gt AS (
+        |  SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS ct
+        |  FROM (SELECT v, SUM(c) AS cv FROM vc GROUP BY v)),
+        |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+        |         FROM vc GROUP BY source),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM vc),
+        |cum AS (
+        |  SELECT g.source, g.n_s, g.ct,
+        |    CAST(SUM(COALESCE(vc.c, 0))
+        |      OVER (PARTITION BY g.source ORDER BY g.v) AS BIGINT) AS cs
+        |  FROM (SELECT s.source, s.n_s, t.v, t.ct
+        |        FROM srcs s CROSS JOIN gt t) g
+        |  LEFT JOIN vc ON vc.source = g.source AND vc.v = g.v)
+        |SELECT source, n_s, n_all - n_s AS n_rest,
+        |  MAX(ABS(cs * (n_all - n_s) - (ct - cs) * n_s)) AS d_num,
+        |  ROUND(CAST(MAX(ABS(cs * (n_all - n_s) - (ct - cs) * n_s)) AS DOUBLE)
+        |        / (n_s * (n_all - n_s)), 6) AS ks
+        |FROM cum CROSS JOIN tot
+        |GROUP BY source, n_s, n_all ORDER BY source""".stripMargin,
     "ts_acf" ->
       """WITH seq AS (
         |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,

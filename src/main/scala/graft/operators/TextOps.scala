@@ -1093,6 +1093,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Shingle CONTAINMENT — the asymmetric cousin of [[jaccardPairs]]'
+    * Jaccard: C(A→B) = |sh(A)∩sh(B)| / |sh(A)| (Broder '97). Jaccard
+    * misses subset relations (a paragraph quoted inside a much larger
+    * doc scores near 0); containment is exactly the "is A contained in
+    * B" detector a dedup pipeline needs for quote/excerpt removal.
+    * Same banded equi-join candidate generation as every other
+    * near-dup op here (shared shingles propose, never all-pairs);
+    * both directions come free from the one undirected intersection
+    * count. Thresholded on the ROUNDED score so the emitted row set
+    * is boundary-stable across engines. */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val cAb = round(col("n_inter").cast("double") / col("sh_a"), 4)
+    val cBa = round(col("n_inter").cast("double") / col("sh_b"), 4)
+    jaccardPairs(s, d, 150)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("sh_a"), col("sh_b"),
+        cAb.as("c_ab"), cBa.as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= 0.1)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Query terms + Okapi parameters shared by [[bm25]] and its oracle —
     * ONE definition so the Spark plan and the DuckDB SQL can never
     * drift (k1 appears pre-added as k1+1 = 2.2 so both engines fold
@@ -1352,7 +1373,8 @@ object TextOps {
     "llm_pmi"           -> (cooccurPmi(_, _)),
     "llm_perplexity_held" -> (perplexityHeld(_, _)),
     "llm_entropy"       -> (unigramEntropy(_, _)),
-    "llm_bm25"          -> (bm25(_, _))
+    "llm_bm25"          -> (bm25(_, _)),
+    "llm_containment"   -> (containment(_, _))
   )
 
   private val tokCte =
@@ -1888,6 +1910,30 @@ object TextOps {
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
          |  ROUND(${Bm25Terms.map(tc).mkString("\n       + ")}, 4) AS bm25
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    },
+    "llm_containment" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+        |    FROM documents,
+        |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i)
+        |    WHERE doc_id < 150)
+        |  WHERE length(sh) > 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT id_a, id_b, n_inter,
+        |    CAST(sa.n_sh AS BIGINT) AS sh_a, CAST(sb.n_sh AS BIGINT) AS sh_b,
+        |    ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 4) AS c_ab,
+        |    ROUND(CAST(n_inter AS DOUBLE) / sb.n_sh, 4) AS c_ba
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, n_inter, sh_a, sh_b, c_ab, c_ba
+        |FROM c WHERE greatest(c_ab, c_ba) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
