@@ -895,6 +895,77 @@ object Relational {
       .orderBy("source")
   }
 
+  /** CUSUM changepoint detection per user series: the t maximizing
+    * |S_t|, S_t = Σ_{i≤t}(v_i − v̄) — where a level shift in the metric
+    * happened (Page '54). Stays EXACT to the argmax: n·S_t = n·cum_t −
+    * t·Σv is integer×decimal, so the winner (max score, earliest t on
+    * ties) is decided on exact values and only the REPORTED magnitude
+    * divides to double. One partition-local sort carries the cumulative
+    * sum, position, and the unbounded total in the same window pass;
+    * the per-user argmax is a min-of-struct hash aggregate — no second
+    * sort, no join, the single-pass shape that survives any scale. */
+  def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val v = dec2(col("value"))
+    val scored = Tables.events(s, d).filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"),
+        row_number().over(ord).cast("long").as("t"),
+        sum(v).over(ord).as("cum"),
+        sum(v).over(all).as("sw"),
+        count(lit(1)).over(all).as("n"))
+      .filter(col("t") < col("n")) // S_n ≡ 0 — not a candidate
+      .withColumn("score",
+        abs(col("n") * col("cum") - col("t") * col("sw")))
+    val best = scored
+      .groupBy("user_id")
+      .agg(min(struct((col("score") * -1).as("neg"), col("t"),
+        col("event_id"), col("cum"), col("sw"), col("n"))).as("b"))
+      .select(col("user_id"), col("b.n").as("n"),
+        col("b.t").as("cp_pos"), col("b.event_id").as("cp_event_id"),
+        (col("b.neg") * -1).as("score"), col("b.cum").as("cum"),
+        col("b.sw").as("sw"))
+    val nD = col("n").cast("double")
+    best
+      .select(col("user_id"), col("n"), col("cp_pos"), col("cp_event_id"),
+        round(col("score").cast("double") / nD, 4).as("shift_mag"),
+        round(col("cum").cast("double") / col("cp_pos"), 4).as("mean_before"),
+        round((col("sw") - col("cum")).cast("double") /
+          (col("n") - col("cp_pos")), 4).as("mean_after"))
+      .orderBy("user_id")
+  }
+
+  /** Last-touch attribution: each purchase credits the most recent
+    * click/view the same user made in the preceding 24 h — the revenue-
+    * attribution query every event pipeline ships. ONE pass: the
+    * ignore-nulls `last()` over (unbounded, −1) carries the latest
+    * touch's type and time along the per-user sort (no self-join, no
+    * per-purchase scan-back), then the 24 h rule and the revenue rollup
+    * are row-local. The frame ends at −1 so a purchase can never
+    * attribute to itself even if a touch shares its timestamp. */
+  def evAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    val tagged = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"),
+        last(when(isTouch, col("event_type")), ignoreNulls = true)
+          .over(w).as("touch_type"),
+        last(when(isTouch, col("ts")), ignoreNulls = true)
+          .over(w).as("touch_ts"))
+    tagged
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_ts") >= col("ts") - expr("INTERVAL 24 HOURS"),
+          col("touch_type")).otherwise(lit("none")).as("attributed_to"),
+        dec2(col("value")).as("v"))
+      .groupBy("attributed_to")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v")).cast("double").as("revenue"))
+      .orderBy("attributed_to")
+  }
+
   /** DuckDB replay of [[aggBootstrap]] — same thresholds, same
     * expression order, generated from the same constants. */
   private def bootstrapOracle(bReps: Int): String = {
@@ -1462,6 +1533,8 @@ object Relational {
     "ts_anomaly"     -> (tsAnomaly(_, _)),
     "agg_mannwhitney" -> (aggMannWhitney(_, _)),
     "profile_ks"     -> (profileKs(_, _)),
+    "ts_changepoint" -> (tsChangepoint(_, _)),
+    "ev_attribution" -> (evAttribution(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -1588,6 +1661,49 @@ object Relational {
         |  ROUND((CAST(n AS DOUBLE) - expected_raw)
         |        * (CAST(n AS DOUBLE) - expected_raw) / expected_raw, 6) AS contrib
         |FROM x ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "ts_changepoint" ->
+      """WITH scored AS (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS t,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS cum,
+        |    SUM(CAST(value AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY user_id) AS sw,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM events WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cand AS (
+        |  SELECT user_id, event_id, t, cum, sw, n,
+        |    ABS(n * cum - t * sw) AS score
+        |  FROM scored WHERE t < n),
+        |best AS (
+        |  SELECT user_id, n, t AS cp_pos, event_id AS cp_event_id,
+        |    score, cum, sw,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY score DESC, t) AS rn
+        |  FROM cand)
+        |SELECT user_id, n, cp_pos, cp_event_id,
+        |  ROUND(CAST(score AS DOUBLE) / CAST(n AS DOUBLE), 4) AS shift_mag,
+        |  ROUND(CAST(cum AS DOUBLE) / cp_pos, 4) AS mean_before,
+        |  ROUND(CAST(sw - cum AS DOUBLE) / (n - cp_pos), 4) AS mean_after
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ev_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |                    THEN event_type END IGNORE NULLS) OVER w
+        |      AS touch_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |                    THEN ts END IGNORE NULLS) OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT
+        |  CASE WHEN touch_ts >= ts - INTERVAL 24 HOURS
+        |       THEN touch_type ELSE 'none' END AS attributed_to,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attributed_to""".stripMargin,
     "agg_mannwhitney" ->
       """WITH ranked AS (
         |  SELECT l_returnflag, l_linenumber % 2 AS grp,

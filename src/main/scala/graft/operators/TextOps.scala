@@ -1093,6 +1093,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Lexical diversity per document: type-token ratio and the
+    * hapax-legomenon rate — the vocabulary-richness signals quality
+    * classifiers use alongside [[gopherRules]]' repetition ratios (a
+    * low TTR flags template/boilerplate text; a high hapax share flags
+    * OCR noise and gibberish). One explode and two hash aggregates,
+    * both with map-side partial combine; ratios are single divisions
+    * of exact longs. */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 4)
+          .as("hapax_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Shingle CONTAINMENT — the asymmetric cousin of [[jaccardPairs]]'
     * Jaccard: C(A→B) = |sh(A)∩sh(B)| / |sh(A)| (Broder '97). Jaccard
     * misses subset relations (a paragraph quoted inside a much larger
@@ -1374,7 +1397,8 @@ object TextOps {
     "llm_perplexity_held" -> (perplexityHeld(_, _)),
     "llm_entropy"       -> (unigramEntropy(_, _)),
     "llm_bm25"          -> (bm25(_, _)),
-    "llm_containment"   -> (containment(_, _))
+    "llm_containment"   -> (containment(_, _)),
+    "llm_ttr"           -> (lexicalDiversity(_, _))
   )
 
   private val tokCte =
@@ -1934,6 +1958,22 @@ object TextOps {
         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, n_inter, sh_a, sh_b, c_ab, c_ba
         |FROM c WHERE greatest(c_ab, c_ba) >= 0.1
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "llm_ttr" ->
+      """WITH tc AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+        |  ROUND(CAST(n_hapax AS DOUBLE) / n_types, 4) AS hapax_rate
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }
