@@ -902,8 +902,10 @@ object Relational {
     * ties) is decided on exact values and only the REPORTED magnitude
     * divides to double. One partition-local sort carries the cumulative
     * sum, position, and the unbounded total in the same window pass;
-    * the per-user argmax is a min-of-struct hash aggregate — no second
-    * sort, no join, the single-pass shape that survives any scale. */
+    * the per-user argmax is a min-of-struct aggregate that rides the
+    * window's existing (user, ts) sort order — no second sort, no
+    * join, the single-pass shape that survives any scale (PlanSpec
+    * pins both properties). */
   def tsChangepoint(s: SparkSession, d: String): DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -303,6 +303,65 @@ class PlanSpec extends SparkSpec {
       s"unexpected rows-only set: $rowsOnly")
   }
 
+  test("llm_bm25: term filter runs map-side below the tf shuffle; joins broadcast") {
+    val plan = executedPlan(TextOps.bm25(spark, sf))
+    // df + corpus stats are broadcast, never shuffled joins
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    // the IN-filter must sit BELOW the (doc,dl,w) exchange — the
+    // shuffle carries matched tokens only, never the token stream
+    val shuffleIdx = plan.indexOf("Exchange hashpartitioning(doc_id")
+    assert(shuffleIdx >= 0, plan.take(2500))
+    val below = plan.substring(shuffleIdx)
+    assert(below.contains("Filter") && below.contains(" IN "),
+      "term filter not below the tf shuffle:\n" + plan.take(3000))
+  }
+
+  test("ts_acf / ts_anomaly: all frame aggregates share ONE window operator") {
+    for (q <- Seq("ts_acf", "ts_anomaly")) {
+      val plan = executedPlan(Relational.queries(q)(spark, sf))
+      val windows = "Window \\[".r.findAllIn(plan).length
+      assert(windows == 1,
+        s"$q: expected 1 Window operator, got $windows:\n" + plan.take(3000))
+    }
+  }
+
+  test("ts_changepoint: argmax rides the window sort — no rank-over-score pass") {
+    val plan = executedPlan(Relational.tsChangepoint(spark, sf))
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1,
+      s"expected the cumulative+total frames fused into 1 Window, got $windows:\n" +
+        plan.take(3000))
+    // the per-user winner is min(struct(...)) — planned as a
+    // SortAggregate that RIDES the window's (user, ts) sort order: the
+    // only Sorts are the window's and the 30-row output orderBy. A
+    // regression to rank-over-score would add a third full sort.
+    assert(plan.contains("min(struct("), plan.take(3000))
+    val sorts = "Sort \\[".r.findAllIn(plan).length
+    assert(sorts <= 2,
+      s"expected window sort + output sort only, got $sorts:\n" + plan.take(3000))
+  }
+
+  test("agg_mannwhitney: ranks and tie counts ride one exchange") {
+    val df = Relational.aggMannWhitney(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    val windows = "Window \\[".r.findAllIn(finalPlan).length
+    assert(windows == 1,
+      s"rank + peer-count must share one Window, got $windows:\n" +
+        finalPlan.take(3000))
+    // window shuffle on flag is the ONLY hash exchange: the rollup
+    // reuses the window's partitioning (no second wide pass)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashEx <= 1,
+      s"expected ≤1 hash exchange, got $hashEx:\n" + finalPlan.take(3000))
+  }
+
   test("every declared oracle key has a matching query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
