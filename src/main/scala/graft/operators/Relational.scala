@@ -672,17 +672,25 @@ object Relational {
       col("l_orderkey").cast("string"), lit("_"),
       col("l_linenumber").cast("string"), lit(s"_$b")).cast("binary")),
       1, 4), 16, 10).cast("long")
+    // materialize each replicate's hash ONCE per row: inlining h16 into
+    // every CASE arm made the aggregate evaluate ~2·|CDF| md5+conv
+    // chains per replicate per row (≈96/row — benched 16 s at sf0.1);
+    // hashing in a projection below the aggregate is 8/row and lets
+    // the weight CASE read a long column
     def kOf(b: Int) = PoisCdf16.zipWithIndex
       .foldRight(lit(PoisCdf16.size): Column) { case ((t, k), rest) =>
-        when(h16(b) < t, k).otherwise(rest)
+        when(col(s"h$b") < t, k).otherwise(rest)
       }
+    val hashed = Tables.lineitem(s, d).select(
+      Seq(col("l_returnflag"), x.as("x")) ++
+        (0 until B).map(b => h16(b).as(s"h$b")): _*)
     val aggs =
-      Seq(count(lit(1)).as("n"), sum(x).as("sx")) ++
+      Seq(count(lit(1)).as("n"), sum(col("x")).as("sx")) ++
         (0 until B).flatMap { b =>
-          Seq(sum(x * kOf(b)).as(s"sw$b"),
+          Seq(sum(col("x") * kOf(b)).as(s"sw$b"),
             sum(kOf(b).cast("long")).as(s"c$b"))
         }
-    val m = Tables.lineitem(s, d).groupBy("l_returnflag")
+    val m = hashed.groupBy("l_returnflag")
       .agg(aggs.head, aggs.tail: _*)
     val means = (0 until B).map(b => col(s"sw$b").cast("double") / col(s"c$b"))
     val mbar = means.reduce(_ + _) / B
@@ -966,6 +974,26 @@ object Relational {
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("v")).cast("double").as("revenue"))
       .orderBy("attributed_to")
+  }
+
+  /** Top-10 three-step event paths — the sequence-mining rollup behind
+    * "what journeys do users actually take" ([[evMarkov]] scores single
+    * transitions; paths expose the full trigram). Two lead() columns on
+    * ONE window spec, then a hash aggregate over at most |types|³ keys
+    * and a TakeOrderedAndProject top-10 (count desc, path asc — total
+    * order, engine-stable). The events stream crosses one exchange;
+    * the ranked frame is the tiny aggregated path table. */
+  def evPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type").as("e0"),
+        lead(col("event_type"), 1).over(w).as("e1"),
+        lead(col("event_type"), 2).over(w).as("e2"))
+      .filter(col("e1").isNotNull && col("e2").isNotNull)
+      .groupBy(concat_ws(">", col("e0"), col("e1"), col("e2")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
   }
 
   /** DuckDB replay of [[aggBootstrap]] — same thresholds, same
@@ -1537,6 +1565,7 @@ object Relational {
     "profile_ks"     -> (profileKs(_, _)),
     "ts_changepoint" -> (tsChangepoint(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
+    "ev_paths"       -> (evPaths(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -1688,6 +1717,19 @@ object Relational {
         |  ROUND(CAST(cum AS DOUBLE) / cp_pos, 4) AS mean_before,
         |  ROUND(CAST(sw - cum AS DOUBLE) / (n - cp_pos), 4) AS mean_after
         |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ev_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e0,
+        |    lead(event_type, 1) OVER w AS e1,
+        |    lead(event_type, 2) OVER w AS e2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT e0 || '>' || e1 || '>' || e2 AS path,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT path, n FROM p ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "ev_attribution" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id, event_type, value,

@@ -1093,6 +1093,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf power-law fit over the corpus word-frequency curve: the
+    * log-log least-squares slope across the top-30 ranks (healthy
+    * natural text sits near −1; templated/synthetic corpora flatten
+    * out — a corpus-level quality diagnostic next to [[unigramEntropy]]'s
+    * per-doc one). Float discipline is the entropy trick: each ln term
+    * quantizes to decimal(18,8) BEFORE the sums, so the sufficient
+    * statistics are order-free across partial aggregation and the
+    * closed form is one ordered double expression. The regression runs
+    * over the RANKED VOCABULARY (≤30 rows after one hash aggregate);
+    * the corpus only pays the word count. */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .select(col("c"),
+        row_number().over(Window.orderBy(col("c").desc, col("w")))
+          .cast("long").as("r"))
+      .filter(col("r") <= 30)
+    def q8(c: Column): Column = round(c, 8).cast("decimal(18,8)")
+    val m = ranked
+      .select(q8(log(col("r").cast("double"))).as("x"),
+        q8(log(col("c").cast("double"))).as("y"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n_ranks").cast("double")
+    def d8(c: String): Column = col(c).cast("double")
+    val cxy = n * d8("sxy") - d8("sx") * d8("sy")
+    val vx = n * d8("sxx") - d8("sx") * d8("sx")
+    val vy = n * d8("syy") - d8("sy") * d8("sy")
+    m.select(col("n_ranks"),
+      round(cxy / vx, 6).as("slope"),
+      round((d8("sy") - cxy / vx * d8("sx")) / n, 4).as("intercept"),
+      round(cxy * cxy / (vx * vy), 6).as("r2"))
+  }
+
   /** Lexical diversity per document: type-token ratio and the
     * hapax-legomenon rate — the vocabulary-richness signals quality
     * classifiers use alongside [[gopherRules]]' repetition ratios (a
@@ -1398,7 +1437,8 @@ object TextOps {
     "llm_entropy"       -> (unigramEntropy(_, _)),
     "llm_bm25"          -> (bm25(_, _)),
     "llm_containment"   -> (containment(_, _)),
-    "llm_ttr"           -> (lexicalDiversity(_, _))
+    "llm_ttr"           -> (lexicalDiversity(_, _)),
+    "llm_zipf"          -> (zipfFit(_, _))
   )
 
   private val tokCte =
@@ -1974,6 +2014,32 @@ object TextOps {
         |SELECT doc_id, n_tokens, n_types, n_hapax,
         |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
         |  ROUND(CAST(n_hapax AS DOUBLE) / n_types, 4) AS hapax_rate
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "llm_zipf" ->
+      """WITH counts AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |ranked AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+        |  FROM counts QUALIFY r <= 30),
+        |t AS (
+        |  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+        |         CAST(ROUND(ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        |  FROM ranked),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM t)
+        |SELECT n_ranks,
+        |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 4) AS intercept,
+        |  ROUND((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM m""".stripMargin
   )
 }
