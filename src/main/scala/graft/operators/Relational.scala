@@ -996,6 +996,37 @@ object Relational {
       .limit(10)
   }
 
+  /** Longest same-event streak per user — the gaps-and-islands idiom,
+    * in its ONE-exchange form: a boundary flag (event_type changed vs
+    * lag) cumulatively summed over the SAME window spec yields the
+    * island id, so flag, island id, and ordering all ride one
+    * (user_id) exchange + sort. The textbook row_number-difference
+    * form pays a second exchange on (user, type); this one never
+    * re-partitions. Island stats are a hash rollup; the per-user
+    * winner is the [[tsChangepoint]] min-of-struct argmax (longest,
+    * then earliest, then event_type — a total order). */
+  def winStreaks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L).as("boundary"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        sum(col("boundary")).over(w).as("island"))
+    val islands = flagged
+      .groupBy("user_id", "island", "event_type")
+      .agg(count(lit(1)).as("len"), min(col("event_id")).as("start_evt"))
+    islands
+      .groupBy("user_id")
+      .agg(min(struct((col("len") * -1).as("neg"), col("start_evt"),
+        col("event_type"))).as("b"))
+      .select(col("user_id"), (col("b.neg") * -1).as("streak_len"),
+        col("b.event_type").as("streak_type"),
+        col("b.start_evt").as("start_event_id"))
+      .orderBy("user_id")
+  }
+
   /** DuckDB replay of [[aggBootstrap]] — same thresholds, same
     * expression order, generated from the same constants. */
   private def bootstrapOracle(bReps: Int): String = {
@@ -1566,6 +1597,7 @@ object Relational {
     "ts_changepoint" -> (tsChangepoint(_, _)),
     "ev_attribution" -> (evAttribution(_, _)),
     "ev_paths"       -> (evPaths(_, _)),
+    "win_streaks"    -> (winStreaks(_, _)),
     "agg_collect"    -> (aggCollect(_, _)),
     "win_rank"       -> (winRank(_, _)),
     "win_analytic"   -> (winAnalytic(_, _)),
@@ -1716,6 +1748,31 @@ object Relational {
         |  ROUND(CAST(score AS DOUBLE) / CAST(n AS DOUBLE), 4) AS shift_mag,
         |  ROUND(CAST(cum AS DOUBLE) / cp_pos, 4) AS mean_before,
         |  ROUND(CAST(sw - cum AS DOUBLE) / (n - cp_pos), 4) AS mean_after
+        |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "win_streaks" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type, 1) OVER w IS NULL
+        |           OR lag(event_type, 1) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT user_id, event_id, event_type,
+        |    SUM(boundary) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS island
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT user_id, island, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS len, MIN(event_id) AS start_evt
+        |  FROM isl GROUP BY user_id, island, event_type),
+        |best AS (
+        |  SELECT user_id, len, event_type, start_evt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_evt, event_type) AS rn
+        |  FROM islands)
+        |SELECT user_id, len AS streak_len, event_type AS streak_type,
+        |  start_evt AS start_event_id
         |FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "ev_paths" ->
       """WITH seq AS (
