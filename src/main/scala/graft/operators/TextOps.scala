@@ -62,6 +62,10 @@ object TextOps {
     val sh = Tables.documents(s, d)
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // <3-word docs have no 3-gram shingles; without this guard
+      // sequence(1, size-2) turns DESCENDING and slice(ws, 0, 3) throws.
+      // Matches the oracle, whose generate_series(1, len-2) is empty.
+      .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), posexplode(
         expr("transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))")))
       .toDF("doc_id", "pos0", "s")
@@ -292,20 +296,59 @@ object TextOps {
 
   /** Curriculum assignment: rank the corpus by the [[quality]] diversity
     * signal and deal it into 4 training phases, easiest (most diverse /
-    * cleanest) first — curriculum learning's data-prep step. ntile over
-    * a UNIQUE (score, doc_id) order is deterministic, and the phase
+    * cleanest) first — curriculum learning's data-prep step. The phase
     * manifest (doc counts, token budget, score range per phase) is the
-    * artifact a training run consumes. One window pass; token budgets
-    * sum exact integers. */
+    * artifact a training run consumes; token budgets sum exact integers.
+    *
+    * Scale shape: ntile(4) over an unpartitioned corpus-wide window
+    * would route every row through one partition, so the exact ntile
+    * semantics (order by diversity desc, doc_id) are reproduced without
+    * it. diversity is round(·,4) on [0,1], so the score histogram is
+    * HARD-BOUNDED at 10001 rows — collect it, derive the three phase
+    * boundary ranks on the driver, and broadcast a value→phase map back
+    * over the corpus. Only rows at a boundary-straddling score value
+    * (≤ 3 values) need a doc_id tie-break, and they pay a PARTITIONED
+    * window over just those filtered rows. The bulk path is scan →
+    * broadcast join → partial agg: no global sort, no global window. */
   def curriculum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val toks = words(col("text"))
     val scored = Tables.documents(s, d)
       .select(col("doc_id"),
         size(toks).as("n_words"),
         round(size(array_distinct(toks)).cast("double") / size(toks), 4)
           .as("diversity"))
-    val w = Window.orderBy(col("diversity").desc, col("doc_id"))
-    scored.withColumn("phase", ntile(4).over(w))
+      .localCheckpoint() // one corpus scan feeds histogram + both paths
+    // bounded collect: ≤ 10001 distinct 4-dp scores by construction
+    val hist = scored.groupBy("diversity").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (v, _) => -v }
+    val n = hist.map(_._2).sum
+    val base = n / 4; val rem = n % 4
+    // cumulative rank where phase p (1..4) ends, per ntile's deal rule
+    val bounds = (1 to 4).map(p => base * p + math.min(p, rem))
+    def phaseOf(rank: Long): Int = bounds.indexWhere(rank <= _) + 1
+    val cumBefore = hist.scanLeft(0L) { case (acc, (_, c)) => acc + c }
+    val unsplit = Seq.newBuilder[(Double, Int)]   // value → whole-value phase
+    val split = Seq.newBuilder[(Double, Long)]    // boundary value → cum rank before it
+    hist.zipWithIndex.foreach { case ((v, c), i) =>
+      val lo = cumBefore(i) + 1; val hi = cumBefore(i) + c
+      if (phaseOf(lo) == phaseOf(hi)) unsplit += ((v, phaseOf(lo)))
+      else split += ((v, cumBefore(i)))
+    }
+    val (unsplitSpec, splitSpec) = (unsplit.result(), split.result())
+    val bulk = scored
+      .join(broadcast(unsplitSpec.toDF("diversity", "phase")), "diversity")
+    val tieW = Window.partitionBy("diversity").orderBy("doc_id")
+    val boundary = scored
+      .join(broadcast(splitSpec.toDF("diversity", "cum_before")), "diversity")
+      .withColumn("rank", col("cum_before") + row_number().over(tieW))
+      .withColumn("phase",
+        when(col("rank") <= bounds(0), 1).when(col("rank") <= bounds(1), 2)
+          .when(col("rank") <= bounds(2), 3).otherwise(4))
+    bulk.select("phase", "n_words", "diversity")
+      .unionByName(boundary.select("phase", "n_words", "diversity"))
       .groupBy("phase")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_words").as("token_budget"),
@@ -800,7 +843,9 @@ object TextOps {
     * characters per word). Rows-only: the trained merge table is
     * corpus-dependent model state, not expressible as static SQL —
     * TextOpsSpec proves the encode against a driver brute force and the
-    * reconstruction invariant (concat(tokens) == word). */
+    * reconstruction invariant (concat(tokens) == word). The tokens
+    * column is emitted "|"-joined (scalar, sortable) rather than as a
+    * raw array so rows-only checkers can order the frame. */
   def bpeEncodeDocs(s: SparkSession, d: String): DataFrame = {
     val vocab = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -809,7 +854,8 @@ object TextOps {
       .localCheckpoint() // one corpus read feeds both train and encode
     val merges = bpeTrain(vocab, nMerges = 12)
     bpeEncode(vocab, merges)
-      .select(col("word"), col("f"), col("tokens"),
+      .select(col("word"), col("f"),
+        concat_ws("|", col("tokens")).as("tokens"),
         size(col("tokens")).cast("long").as("n_tokens"),
         length(col("word")).cast("long").as("n_chars"))
       .orderBy(col("f").desc, col("word"))
@@ -1107,11 +1153,15 @@ object TextOps {
     val counts = Tables.documents(s, d)
       .select(explode(words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    // TakeOrderedAndProject first: the corpus-scale vocabulary is cut to
+    // 30 rows by a distributed top-k (per-partition heaps), and only the
+    // 30-row frame pays the rank window — never a global sort or an
+    // unpartitioned window over the full vocab.
     val ranked = counts
+      .orderBy(col("c").desc, col("w")).limit(30)
       .select(col("c"),
         row_number().over(Window.orderBy(col("c").desc, col("w")))
           .cast("long").as("r"))
-      .filter(col("r") <= 30)
     def q8(c: Column): Column = round(c, 8).cast("decimal(18,8)")
     val m = ranked
       .select(q8(log(col("r").cast("double"))).as("x"),

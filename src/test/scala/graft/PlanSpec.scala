@@ -362,6 +362,36 @@ class PlanSpec extends SparkSpec {
       s"expected ≤1 hash exchange, got $hashEx:\n" + finalPlan.take(3000))
   }
 
+  test("llm_curriculum: no unpartitioned Window anywhere in the plan") {
+    // the corpus-wide ntile was replaced by histogram boundaries +
+    // broadcast value→phase join; only boundary-tie rows pay a window,
+    // and that window is PARTITIONED (by diversity). A regression to a
+    // global window would put the whole corpus on one partition.
+    val df = TextOps.curriculum(spark, sf)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    })
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned WindowExec found:\n${unpartitioned.mkString("\n").take(2000)}")
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "value→phase map must broadcast:\n" + plan.toString.take(2000))
+  }
+
+  test("llm_zipf: vocab is cut by TakeOrderedAndProject before ranking") {
+    // rank-then-filter over the full vocabulary would sort 10⁸+ rows on
+    // one partition at corpus scale; top-k must run as per-partition
+    // heaps (TakeOrderedAndProject), with the rank window over ≤30 rows.
+    val plan = executedPlan(TextOps.zipfFit(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("every declared oracle key has a matching query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
