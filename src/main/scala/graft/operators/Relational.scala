@@ -821,6 +821,10 @@ object Relational {
       (n * (n - 1.0)))
     scored
       .filter(col("n_hist") >= 5)
+      // constant history ⇒ sd = 0 ⇒ z = ±Infinity, whose cross-engine
+      // round()/compare semantics are undefined — require positive
+      // variance (integer-exact on the decimal sufficient stats)
+      .filter(col("n_hist") * col("sxx") - col("sw") * col("sw") > 0)
       .select(col("event_id"), col("user_id"), col("value"),
         col("n_hist"), round((col("value") - mean) / sd, 4).as("z"))
       .filter(abs(col("z")) > 2.5)
@@ -1916,7 +1920,7 @@ object Relational {
         |      sqrt((CAST(n_hist AS DOUBLE) * CAST(sxx AS DOUBLE)
         |            - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) /
         |           (CAST(n_hist AS DOUBLE) * (CAST(n_hist AS DOUBLE) - 1.0))), 4) AS z
-        |  FROM scored WHERE n_hist >= 5)
+        |  FROM scored WHERE n_hist >= 5 AND n_hist * sxx - sw * sw > 0)
         |SELECT event_id, user_id, value, n_hist, z
         |FROM z WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
     "win_ewma" ->

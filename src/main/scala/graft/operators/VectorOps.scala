@@ -682,7 +682,7 @@ object VectorOps {
     val corpus = emb.filter(col("vec_id") >= 3)
       .select(col("vec_id"), col("embedding"))
     org.apache.spark.sql.GraftColumnBridge.ofRows(s,
-        graft.plans.CosineTopK(queries, 5, corpus.queryExecution.logical))
+        graft.plans.CosineTopK(queries, 5, corpus.queryExecution.logical)())
       .orderBy("query_id", "rank")
   }
 

@@ -32,9 +32,16 @@ import org.apache.spark.sql.types._
 case class CosineTopK(
     queries: Seq[(Long, Seq[Float])],
     k: Int,
-    child: LogicalPlan)
+    child: LogicalPlan)(
+    // second (non-product) param list: per-NODE attrs, minted once at
+    // construction and threaded through every analyzer/optimizer copy.
+    // A companion-level constant here would share exprIds across ALL
+    // CosineTopK nodes in a session — two such nodes composed in one
+    // query tree (union/join of two simSearchExec frames) would carry
+    // duplicate exprIds and misresolve parent references.
+    val nodeOutput: Seq[Attribute] = CosineTopK.freshOutput())
   extends UnaryNode {
-  override val output: Seq[Attribute] = CosineTopK.outputAttrs
+  override def output: Seq[Attribute] = nodeOutput
   // this node PRODUCES its output (nothing passes through from the
   // child) — without this, plan validation flags the attrs as missing
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -50,13 +57,16 @@ case class CosineTopK(
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): CosineTopK =
-    copy(child = newChild)
+    copy(child = newChild)(nodeOutput)
+  // makeCopy builds tree copies reflectively from the FIRST param list;
+  // without this the copy would re-default nodeOutput to fresh exprIds
+  // and parent references would dangle mid-rewrite
+  override def otherCopyArgs: Seq[AnyRef] = nodeOutput :: Nil
 }
 
 object CosineTopK {
-  // stable companion-level attrs: node copies during analysis/optimizer
-  // rewrites must keep the same exprIds or parent references dangle
-  val outputAttrs: Seq[Attribute] = Seq(
+  /** Fresh per-node output attrs (exprIds minted per call). */
+  def freshOutput(): Seq[Attribute] = Seq(
     AttributeReference("query_id", LongType, nullable = false)(),
     AttributeReference("rank", IntegerType, nullable = false)(),
     AttributeReference("neighbor_id", LongType, nullable = false)(),

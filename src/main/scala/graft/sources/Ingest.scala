@@ -152,8 +152,13 @@ object Ingest {
     * silently (permissive-null), it must land in a quarantine table a
     * human can replay. All parse lanes are `try_cast` (NULL, never
     * throw); reason precedence is fixed (arity → field casts → range)
-    * so the verdict is deterministic per line. */
-  def decodeWithQuarantine(raw: DataFrame): (DataFrame, DataFrame) = {
+    * so the verdict is deterministic per line.
+    *
+    * The two lanes share ONE cached parse; the cache is owned by the
+    * returned [[DecodedBatch]] — call `release()` once both lanes are
+    * written, or repeated ingest batches accrete cached partitions for
+    * the session lifetime. */
+  def decodeWithQuarantine(raw: DataFrame): DecodedBatch = {
     // get() (not [i]) — ANSI mode makes [i] THROW on a short split, the
     // exact failure class this lane exists to absorb
     val f = split(col("line"), ",")
@@ -178,7 +183,15 @@ object Ingest {
       .select("chunk_id", "dataset_id", "block_start", "block_end", "size_bytes")
     val quarantined = parsed.filter(col("reason").isNotNull)
       .select("line", "reason")
-    (good, quarantined)
+    DecodedBatch(good, quarantined, parsed)
+  }
+
+  /** Result of [[decodeWithQuarantine]]: both lanes derive from the one
+    * cached `parsed` scan; the caller must [[release]] after writing
+    * both lanes (the lanes stay usable, recomputed from source). */
+  final case class DecodedBatch(good: DataFrame, quarantined: DataFrame,
+      private val parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(blocking = false); () }
   }
 
   def findChunk(spark: SparkSession, catalogPath: String,

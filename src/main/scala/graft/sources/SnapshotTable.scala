@@ -415,6 +415,9 @@ object SnapshotTable {
       min(col(colA).cast("long")).as("a_lo"), max(col(colA).cast("long")).as("a_hi"),
       min(col(colB).cast("long")).as("b_lo"), max(col(colB).cast("long")).as("b_hi"))
       .head()
+    // empty snapshot or all-NULL cluster column ⇒ min/max are NULL:
+    // nothing to cluster, keep the current layout (no-op, not an NPE)
+    if ((0 to 3).exists(mm.isNullAt)) return v
     val (aLo, aHi, bLo, bHi) =
       (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
     val nb = (1 << bits) - 1

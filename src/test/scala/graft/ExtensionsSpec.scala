@@ -50,9 +50,47 @@ class ExtensionsSpec extends SparkSpec {
         (5L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
       val df = org.apache.spark.sql.GraftColumnBridge.ofRows(s2,
         graft.plans.CosineTopK(Seq((0L, Seq(1.0f, 0.0f))), 2,
-          corpus.queryExecution.logical))
+          corpus.queryExecution.logical)())
       val out = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       assert(out.toSeq == Seq((0L, 1, 3L), (0L, 2, 4L))) // exact, then 0.6
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("two CosineTopK nodes compose in one tree (per-node exprIds)") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions.col
+      import s2.implicits._
+      // companion-constant output attrs would give BOTH nodes the same
+      // exprIds — a union/join of two sim-search frames then carries
+      // duplicate ids and misresolves. Per-node attrs must make this
+      // compose cleanly.
+      val corpusA = Seq((3L, Seq(1.0f, 0.0f)), (4L, Seq(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val corpusB = Seq((7L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+      def topk(qid: Long, c: org.apache.spark.sql.DataFrame) =
+        org.apache.spark.sql.GraftColumnBridge.ofRows(s2,
+          graft.plans.CosineTopK(Seq((qid, Seq(1.0f, 0.0f))), 1,
+            c.queryExecution.logical)())
+      val a = topk(0L, corpusA)
+      val b = topk(1L, corpusB)
+      val u = a.unionByName(b).orderBy("query_id")
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(u.toSeq == Seq((0L, 3L), (1L, 7L)))
+      val j = a.select(col("query_id").as("qa"), col("neighbor_id").as("na"))
+        .crossJoin(b.select(col("query_id").as("qb"), col("neighbor_id").as("nb")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(j.toSeq == Seq((0L, 3L, 1L, 7L)))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

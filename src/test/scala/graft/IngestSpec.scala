@@ -175,7 +175,8 @@ class IngestSpec extends SparkSpec {
       "c8,1,0,100,-9",           // negative_size
       "c9,x,y,z",                // wrong_arity wins over later lanes
       "c10,1,0,100,512,extra")   // wrong_arity (too many)
-    val (good, bad) = Ingest.decodeWithQuarantine(lines.toDF("line"))
+    val batch = Ingest.decodeWithQuarantine(lines.toDF("line"))
+    val (good, bad) = (batch.good, batch.quarantined)
     val goodIds = good.select("chunk_id").as[String].collect().sorted.toSeq
     assert(goodIds == Seq("c1", "c2"))
     // typed columns survive the lane intact
@@ -193,5 +194,6 @@ class IngestSpec extends SparkSpec {
     assert(reasons("c8,1,0,100,-9") == "negative_size")
     assert(reasons("c9,x,y,z") == "wrong_arity")
     assert(reasons("c10,1,0,100,512,extra") == "wrong_arity")
+    batch.release() // cache ownership: caller frees after both lanes read
   }
 }
