@@ -295,12 +295,46 @@ object Formats {
       .orderBy("user_id")
   }
 
+  /** MERGE (upsert) through the snapshot table, end-to-end and oracled:
+    * commit orders as a range-partitioned snapshot (disjoint per-file
+    * key stats), merge a deterministic update set (repriced low keys +
+    * brand-new high keys), read the result back and aggregate. The
+    * DuckDB oracle states the same MERGE as anti-join + union over the
+    * ORIGINAL table — a hash match proves the copy-on-write commit
+    * (stats-pruned touched-file rewrite, [[SnapshotTable.merge]])
+    * reconstructs exactly the declarative semantics. Prices ride as
+    * decimal(18,2) so the +100 reprice is exact in both engines. */
+  def snapshotMerge(s: SparkSession, d: String): DataFrame = {
+    val t = java.nio.file.Files.createTempDirectory("graft_merge")
+      .resolve("t").toString
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("o_totalprice"))
+    SnapshotTable.commit(s, t,
+      orders.repartitionByRange(4, col("o_orderkey")), append = false)
+    val updates = orders.filter(col("o_orderkey") <= 600)
+      // dec2 again: + widens decimal(18,2) to (19,2), and merge requires
+      // update columns to keep the table's exact type
+      .withColumn("o_totalprice", dec2(col("o_totalprice") + lit(100)))
+      .unionByName(orders.filter(col("o_orderkey") % 997 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    SnapshotTable.merge(s, t, updates, "o_orderkey")
+    SnapshotTable.read(s, t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).cast("double").as("total"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv"      -> (sourceCsv(_, _)),
     "source_json"     -> (sourceJson(_, _)),
     "source_orc"      -> (sourceOrc(_, _)),
     "source_textline" -> (sourceTextline(_, _)),
-    "layout_zorder"   -> (layoutZorder(_, _)))
+    "layout_zorder"   -> (layoutZorder(_, _)),
+    "snapshot_merge"  -> (snapshotMerge(_, _)))
 
   /** Oracles read the ORIGINAL parquet tables — the round-trip must be
     * lossless for the hashes to match. */
@@ -329,6 +363,26 @@ object Formats {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem WHERE l_quantity < 10
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "snapshot_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 100 AS o_totalprice
+        |  FROM base WHERE o_orderkey <= 600
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 997 = 0),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS total,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "layout_zorder" ->
       """SELECT user_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,

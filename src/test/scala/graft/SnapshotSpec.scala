@@ -403,6 +403,44 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.versions(t) == Seq(1L, 2L, 3L))
   }
 
+  test("merge rewrites only files holding matched keys; the rest carry by reference") {
+    val t = tmp()
+    // two commits with disjoint id-ranges → separable file stats
+    SnapshotTable.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    SnapshotTable.commit(spark, t,
+      (1000 to 1100).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    val before = SnapshotTable.entries(t, 2L)
+    val lowFiles = before.filter(_.stats("id")._2 < 1000).map(_.path).toSet
+    assert(lowFiles.nonEmpty)
+    // update two high-range keys + insert one brand-new key
+    val v3 = SnapshotTable.merge(spark, t,
+      Seq((1050L, "UP"), (1060L, "UP"), (5000L, "NEW")).toDF("id", "v"), "id")
+    assert(v3 == 3L)
+    val after = SnapshotTable.entries(t, 3L)
+    // the low-range file carried with its exact original path
+    assert(lowFiles.subsetOf(after.map(_.path).toSet))
+    // the high-range file was rewritten (old path gone)
+    assert(after.map(_.path).toSet.intersect(
+      before.map(_.path).toSet -- lowFiles).isEmpty)
+    val now = SnapshotTable.read(spark, t).as[(Long, String)].collect().toMap
+    assert(now(1050L) == "UP" && now(1060L) == "UP" && now(5000L) == "NEW")
+    assert(now(1L) == "v1" && now(1049L) == "v1049")
+    assert(now.size == 202)
+    // pre-merge snapshot still time-travels
+    assert(SnapshotTable.readVersion(spark, t, 2).count() == 201)
+    // purely-new keys: nothing matched, nothing rewritten — both files carry
+    val v4 = SnapshotTable.merge(spark, t,
+      Seq((9000L, "x")).toDF("id", "v"), "id")
+    val afterInsert = SnapshotTable.entries(t, 4L)
+    assert(after.map(_.path).toSet.subsetOf(afterInsert.map(_.path).toSet))
+    assert(SnapshotTable.read(spark, t).count() == 203)
+    // empty update set is a metadata no-op: same version, no commit
+    assert(SnapshotTable.merge(spark, t,
+      Seq.empty[(Long, String)].toDF("id", "v"), "id") == v4)
+    assert(SnapshotTable.versions(t) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("compact bin-packs small files and preserves data + history") {
     val t = tmp()
     for (i <- 0 until 6)
