@@ -620,9 +620,12 @@ object VectorOps {
     * scan yields a SHORTLIST (top-64 codes per query), and only those
     * 64 full vectors are fetched and re-ranked by exact distance. The
     * expensive float read is 64 rows per query regardless of corpus
-    * size; everything corpus-scale touches codes only. Rows-only (float
-    * codebooks are not DuckDB-reproducible); VectorOpsSpec proves
-    * recall against the exhaustive scan and determinism across runs. */
+    * size; everything corpus-scale touches codes only. Hash-checked:
+    * the decimal discipline (9-dp rounded distances, DECIMAL partial
+    * sums, deterministic tie-breaks) makes the whole train→encode→ADC→
+    * re-rank pipeline replayable in DuckDB as unrolled CTEs
+    * ([[pqOracle]]); VectorOpsSpec additionally proves recall against
+    * the exhaustive scan and determinism across runs. */
   def annPq(s: SparkSession, d: String): DataFrame = {
     val m = 4
     val shortlist = 64
@@ -1096,8 +1099,91 @@ object VectorOps {
        |FROM a${rounds - 1} GROUP BY cell ORDER BY cell""".stripMargin
   }
 
+  /** DuckDB replay of the FULL PQ pipeline ([[pqCodebooks]] →
+    * [[annPq]]), unrolled: per-subspace Lloyd fit (`iters`
+    * assign/update pairs, same decimal discipline as [[lloydOracle]]
+    * with `m` as an extra group key), encoding with the final
+    * codebooks, the query ADC lookup table, the decimal-exact ADC
+    * shortlist, and the exact re-rank — the trained-ANN path promoted
+    * from rows-only to a hash-checked row. */
+  private def pqOracle(m: Int, k: Int, iters: Int, shortlist: Int,
+      topK: Int): String = {
+    val subLen = 64 / m
+    def l2(a: String, b: String) =
+      s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(generate_series(1, len($a)),
+         |            i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |          (acc, x) -> acc + x), 9)""".stripMargin
+    def assign(an: String, ct: String) =
+      s"""$an AS (
+         |  SELECT vec_id, m, sub, cell, dist FROM (
+         |    SELECT vec_id, m, sub, cell, dist,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |                         ORDER BY dist, cell) AS rn
+         |    FROM (
+         |      SELECT s.vec_id, s.m, s.sub, c.cell,
+         |        ${l2("s.sub", "c.cvec")} AS dist
+         |      FROM sub s JOIN $ct c ON s.m = c.m))
+         |  WHERE rn = 1)""".stripMargin
+    def update(cn: String, an: String) =
+      s"""$cn AS (
+         |  SELECT m, cell, list(mv ORDER BY i) AS cvec FROM (
+         |    SELECT m, cell, i,
+         |      CAST(SUM(CAST(sub[i] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mv
+         |    FROM $an, LATERAL (SELECT unnest(generate_series(1, len(sub))) AS i)
+         |    GROUP BY m, cell, i) GROUP BY m, cell)""".stripMargin
+    val lloyd = (0 until iters).flatMap { r =>
+      Seq(assign(s"a$r", s"c$r"), update(s"c${r + 1}", s"a$r"))
+    }
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m, list_slice(emb, m * $subLen + 1, (m + 1) * $subLen) AS sub
+       |  FROM e, LATERAL (SELECT unnest(generate_series(0, ${m - 1})) AS m)),
+       |c0 AS (SELECT m, CAST(vec_id AS INT) AS cell, sub AS cvec
+       |       FROM sub WHERE vec_id < $k),
+       |${lloyd.mkString(",\n")},
+       |${assign("codes", s"c$iters")},
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.m, c.cell,
+       |    CAST(${l2("s.sub", "c.cvec")} AS DECIMAL(28,9)) AS pdist
+       |  FROM sub s JOIN c$iters c ON s.m = c.m
+       |  WHERE s.vec_id < 3),
+       |adc AS (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |    SUM(l.pdist) AS adist
+       |  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.cell = l.cell
+       |  WHERE cd.vec_id <> l.query_id
+       |  GROUP BY l.query_id, cd.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY adist, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $shortlist),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(a.emb)),
+       |        i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i]))),
+       |      (acc, x) -> acc + x), 6) AS dist
+       |  FROM short s
+       |  JOIN e a ON a.vec_id = s.query_id
+       |  JOIN e b ON b.vec_id = s.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY dist, neighbor_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "llm_kmeans" -> lloydOracle(k = 8, rounds = 5),
+    "llm_ann_pq" -> pqOracle(m = 4, k = 16, iters = 3, shortlist = 64,
+      topK = 10),
     "llm_rand_proj" -> randProjOracle(dIn = 64, kOut = 8),
     "llm_ann_rp" -> annRandProjOracle(dIn = 64, kOut = 8, kShort = RpShortlist),
     "llm_mmr" -> mmrOracle(MmrParams._1, MmrParams._2, MmrParams._3),
