@@ -98,8 +98,9 @@ object VectorOps {
 
   /** IVF-style ANN: corpus bucketed by nearest of 8 deterministic
     * centroids (vec_id < 8); each query probes its nearest 2 cells only.
-    * Rows-only (float assignment chains are not worth oracling);
-    * scalatest checks recall against brute force. */
+    * Hash-checked ([[ivfSeededOracle]] replays the rounded-distance
+    * assignment + probe + in-cell rank); scalatest additionally checks
+    * recall against brute force. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents = centroids(s, d)
@@ -206,8 +207,10 @@ object VectorOps {
     * file-listing time (ScaleSpec asserts selectedPartitions). The tiny
     * probe-cell collect is model-state scalar work on the driver, the
     * same class as AQE's runtime decisions — the corpus is only ever
-    * touched by the pruned scan. Rows-only; VectorOpsSpec holds it to
-    * the same recall bar as the seeded form. */
+    * touched by the pruned scan. Hash-checked ([[ivfTrainedOracle]]
+    * replays the 3-round Lloyd fit, the c3 probe centroids AND the a2
+    * corpus assignment); VectorOpsSpec additionally holds it to the
+    * same recall bar as the seeded form. */
   def annIvfTrained(s: SparkSession, d: String): DataFrame = {
     val layout = ensureTrainedLayout(s, d)
     val cents = s.read.parquet(s"$layout/centroids")
@@ -251,8 +254,10 @@ object VectorOps {
   /** Pre-normalized corpus search — the repeated-query optimization: unit-
     * normalize every vector ONCE (a materialized corpus transform at
     * scale), after which top-k cosine is a pure dot product per query.
-    * Rows-only (normalize-then-dot is not bit-identical to the fused
-    * cosine; VectorOpsSpec asserts rank agreement with brute force). */
+    * Hash-checked against a DuckDB replay of the same normalize-then-
+    * dot (not bit-identical to the fused cosine, but exactly
+    * reproducible on its own terms); VectorOpsSpec asserts rank
+    * agreement with brute force. */
   def simSearchPrenorm(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // materialize the norm once per row — norm() inside the transform
@@ -693,9 +698,10 @@ object VectorOps {
     * doc promises, demonstrated: identical query shape, centroids read
     * from the [[ensureTrainedLayout]] build instead of fixed seeds.
     * Data-distributed cells tighten the within-cell comparison set, and
-    * nothing else changes. Rows-only (trained float centroids are not
-    * DuckDB-reproducible); VectorOpsSpec holds it to the same
-    * min-id-survives / in-cell-witness invariants as the seeded form. */
+    * nothing else changes. Hash-checked ([[semDedupTrainedOracle]]
+    * swaps the Lloyd-fit centroids into the seeded oracle's pair
+    * logic); VectorOpsSpec holds it to the same min-id-survives /
+    * in-cell-witness invariants as the seeded form. */
   def semDedupTrained(s: SparkSession, d: String): DataFrame = {
     val layout = ensureTrainedLayout(s, d)
     val cents = s.read.parquet(s"$layout/centroids")
@@ -1180,10 +1186,179 @@ object VectorOps {
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared DuckDB fragment: left-to-right double cosine over two list
+    * aliases — the replay of [[cosineHof]]/the fused native expression. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($a)),
+       |        i -> $a[i] * $b[i])), (x, y) -> x + y)
+       |   / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($a)),
+       |        i -> $a[i] * $a[i])), (x, y) -> x + y))
+       |    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($b)),
+       |        i -> $b[i] * $b[i])), (x, y) -> x + y))))""".stripMargin
+
+  /** DuckDB replay of [[annIvf]] (seeded inverted-file ANN): assign
+    * every vector to its nearest of the 8 vec_id<8 seed centroids by
+    * rounded spherical distance, probe each query's 2 nearest cells,
+    * exact-rank inside them. Same argmin/tie discipline as the Lloyd
+    * oracles, so the probe set and final ranking hash-match. */
+  private def ivfSeededOracle(cells: Int, nprobe: Int, topK: Int): String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |FROM embeddings),
+       |cents AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cvec
+       |          FROM e WHERE vec_id < $cells),
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        round(2.0 - 2.0 * ${cosSql("v.emb", "c.cvec")}, 9), c.cell) AS rn
+       |    FROM e v, cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(2.0 - 2.0 * ${cosSql("q.emb", "c.cvec")}, 9), c.cell) AS rn
+       |    FROM e q, cents c WHERE q.vec_id < 3) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(${cosSql("q.emb", "a.emb")}, 6) AS sim
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of [[annIvfTrained]]: the [[ensureTrainedLayout]]
+    * build is `kmeans(iters=3)` — assignments a0..a2 against c0..c2 —
+    * whose CORPUS table is the final assignment a2 while the PROBE
+    * centroids are one further update c3 = update(a2); the replay keeps
+    * both exactly (probing c3, searching a2's cells). Distances are the
+    * same 9-dp-rounded L2 + decimal updates as [[lloydOracle]]. */
+  private def l2RoundSql(a: String, b: String): String =
+    s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(generate_series(1, len($a)),
+       |            i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |          (acc, x) -> acc + x), 9)""".stripMargin
+
+  private def lloydAssignCte(an: String, ct: String): String =
+    s"""$an AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT v.vec_id, v.emb, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY ${l2RoundSql("v.emb", "c.cvec")}, c.cell) AS rn
+       |    FROM e v, $ct c) WHERE rn = 1)""".stripMargin
+
+  private def lloydUpdateCte(cn: String, an: String): String =
+    s"""$cn AS (
+       |  SELECT cell, list(mv ORDER BY i) AS cvec FROM (
+       |    SELECT cell, i,
+       |      CAST(SUM(CAST(emb[i] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mv
+       |    FROM $an, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i)
+       |    GROUP BY cell, i) GROUP BY cell)""".stripMargin
+
+  /** CTE prefix `e, c0, a0, c1, …, c<iters>` replaying [[kmeans]]'s
+    * Lloyd chain (assignment a(r) against c(r), update c(r+1)). */
+  private def lloydChainSql(k: Int, iters: Int): String = {
+    val lloyd = (0 until iters).flatMap { r =>
+      Seq(lloydAssignCte(s"a$r", s"c$r"), lloydUpdateCte(s"c${r + 1}", s"a$r"))
+    }
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cvec
+       |       FROM e WHERE vec_id < $k),
+       |${lloyd.mkString(",\n")}""".stripMargin
+  }
+
+  private def ivfTrainedOracle(k: Int, iters: Int, nprobe: Int,
+      topK: Int): String = {
+    def l2(a: String, b: String) = l2RoundSql(a, b)
+    s"""WITH ${lloydChainSql(k, iters)},
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY ${l2("q.emb", "c.cvec")}, c.cell) AS rn
+       |    FROM e q, c$iters c WHERE q.vec_id < 3) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(${cosSql("q.emb", "a.emb")}, 6) AS sim
+       |  FROM probes p JOIN a${iters - 1} a USING (cell)
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+       |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[semDedupTrained]]: the seeded `llm_semdedup`
+    * pair logic with the assignment swapped to the Lloyd-fit centroids
+    * c<iters> — exactly the swap the Spark side makes. */
+  private def semDedupTrainedOracle(k: Int, iters: Int): String =
+    s"""WITH ${lloydChainSql(k, iters)},
+       |${lloydAssignCte("assigned", s"c$iters")},
+       |q AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(emb, x -> CAST(round(x /
+       |      list_max(list_transform(emb, y -> abs(y))) * 127) AS BIGINT)) AS qv
+       |  FROM assigned),
+       |n AS (SELECT vec_id, cell, qv,
+       |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nq FROM q),
+       |p AS (
+       |  SELECT a.cell AS cell, b.vec_id AS vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+       |      i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
+       |    a.nq AS na, b.nq AS nb
+       |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT DISTINCT cell, vec_id FROM p
+       |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb
+       |ORDER BY cell, vec_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "llm_kmeans" -> lloydOracle(k = 8, rounds = 5),
     "llm_ann_pq" -> pqOracle(m = 4, k = 16, iters = 3, shortlist = 64,
       topK = 10),
+    "llm_ann_ivf" -> ivfSeededOracle(cells = 8, nprobe = 2, topK = 5),
+    "llm_ann_trained" -> ivfTrainedOracle(k = 8, iters = 3, nprobe = 2,
+      topK = 5),
+    "llm_semdedup_trained" -> semDedupTrainedOracle(k = 8, iters = 3),
+    // normalize-then-dot replayed verbatim (same unit-vector fragment
+    // the RP oracle proves): not bit-identical to fused cosine, but
+    // exactly reproducible on its own terms
+    "llm_sim_prenorm" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, len(embedding)),
+        |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |        (a, x) -> a + x))) AS u
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(q.u)),
+        |        i -> q.u[i] * c.u[i])), (a, x) -> a + x), 6) AS sim
+        |  FROM u q JOIN u c ON q.vec_id < 3 AND c.vec_id >= 3),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "llm_rand_proj" -> randProjOracle(dIn = 64, kOut = 8),
     "llm_ann_rp" -> annRandProjOracle(dIn = 64, kOut = 8, kShort = RpShortlist),
     "llm_mmr" -> mmrOracle(MmrParams._1, MmrParams._2, MmrParams._3),

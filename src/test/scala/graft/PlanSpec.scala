@@ -284,17 +284,16 @@ class PlanSpec extends SparkSpec {
 
   test("rows-only queries are exactly the known oracle-inexpressible set") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    // hash families / sketches / env-local paths / float-merge outputs —
+    // hash families / env-local paths only (the ANN/semdedup float
+    // pipelines all oracle via unrolled Lloyd replays since r7) —
     // anything else appearing here means an oracle was accidentally lost
     assert(rowsOnly == Set(
-      "llm_ann_ivf",
+      // xxhash64 families: MinHash permutations, SimHash/RP hyperplane
+      // signs, LSH band keys — not reproducible in DuckDB by design
       "llm_dedup_minhash", "llm_simhash", "llm_simhash_neardup",
-      "llm_simhash_band",
-      "llm_sim_prenorm", "source_binaryfile",
-      "llm_embed_lsh", "llm_dedup_groups", "llm_ann_trained",
-      // PQ codebooks / trained-centroid cells are float Lloyd fits —
-      // same family as llm_ann_*; invariants proven in VectorOpsSpec
-      "llm_ann_pq", "llm_semdedup_trained",
+      "llm_simhash_band", "llm_embed_lsh", "llm_dedup_groups",
+      // binaryFile reader exposes env-local absolute paths/mtimes
+      "source_binaryfile",
       // BPE encode applies a TRAINED merge list sequentially per word —
       // the greedy left-to-right fold over learned ranks has no DuckDB
       // SQL equivalent; TextOpsSpec checks it against a driver
