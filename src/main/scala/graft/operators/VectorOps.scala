@@ -141,9 +141,12 @@ object VectorOps {
     corpusLayoutDir(d, "graft-ivf-trained-v2")
 
   /** Derived-layout cache dir for corpus `d` under `prefix`, keyed by a
-    * content fingerprint (path, length, mtime) of the embeddings files. */
-  private def corpusLayoutDir(d: String, prefix: String): String = {
-    val corpus = new java.io.File(d, "embeddings.parquet")
+    * content fingerprint (path, length, mtime) of the source table's
+    * files (default the embeddings; GraphOps keys its dedup-cluster
+    * layout on the documents table). */
+  private[operators] def corpusLayoutDir(d: String, prefix: String,
+      table: String = "embeddings.parquet"): String = {
+    val corpus = new java.io.File(d, table)
     val sig = Option(corpus.listFiles()).getOrElse(Array(corpus))
       .filter(_.isFile).sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
@@ -163,7 +166,7 @@ object VectorOps {
   /** Atomic-rename publish of a derived layout build (shared by the
     * trained-IVF and PQ builds): build under a UUID temp sibling, mark
     * `_BUILT`, rename into place; a lost race discards the duplicate. */
-  private def publishLayout(dir: java.io.File, tmp: java.io.File): Unit = {
+  private[operators] def publishLayout(dir: java.io.File, tmp: java.io.File): Unit = {
     new java.io.File(tmp, "_BUILT").createNewFile()
     if (!tmp.renameTo(dir)) {
       def rm(f: java.io.File): Unit = {

@@ -102,6 +102,64 @@ class GraphOpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("observedChanged: delivery failure probes the checkpointed round, counts the miss") {
+    // an Observation never attached to any query: its future cannot
+    // complete, so Await times out — exactly the wedged-listener-bus
+    // shape that inflated the r7/r8 graph numbers. The fallback must
+    // read the answer from the materialized round, not assume changed=1.
+    val miss0 = GraphOps.ccObservationMisses.get()
+    val converged = Seq((1L, 1L, 0L), (2L, 1L, 0L))
+      .toDF("node", "comp", "chg").localCheckpoint()
+    assert(GraphOps.observedChanged(
+      org.apache.spark.sql.Observation(), converged, 0) == 0L)
+    val changed = Seq((1L, 1L, 0L), (2L, 1L, 1L))
+      .toDF("node", "comp", "chg").localCheckpoint()
+    assert(GraphOps.observedChanged(
+      org.apache.spark.sql.Observation(), changed, 1) == 1L)
+    assert(GraphOps.ccObservationMisses.get() == miss0 + 2,
+      "each fallback must be counted — Bench surfaces these per query")
+    converged.unpersist(blocking = false)
+    changed.unpersist(blocking = false)
+  }
+
+  test("cluster layout: second call runs zero queries; artifact matches fresh CC") {
+    GraphOps.ensureClusterLayout(spark, sf) // build (or reuse) the layout
+    Thread.sleep(500)                       // drain build-time listener events
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dir = try {
+      val d = GraphOps.ensureClusterLayout(spark, sf)
+      Thread.sleep(500) // listener delivery is async
+      // the cached path is a pure _BUILT existence check — re-training
+      // per consumer is exactly the shape this artifact exists to kill
+      assert(execs.get() == 0,
+        s"cached ensureClusterLayout ran ${execs.get()} queries; expected 0")
+      d
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the materialized table IS the direct computation, byte-for-byte
+    val cached = spark.read.parquet(new java.io.File(dir, "jaccard_clusters").toString)
+      .collect().map(_.toSeq).toSet
+    val nodes = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 150).select(col("doc_id").as("node"))
+    val edges = graft.operators.TextOps.jaccardPairs(spark, sf, 150)
+      .filter(col("jaccard") >= 0.02)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = GraphOps.connectedComponents(nodes, edges)
+    val fresh = labels
+      .join(labels.groupBy("comp").agg(count(lit(1)).as("cluster_size")), "comp")
+      .select(col("node").as("doc_id"), col("comp"), col("cluster_size"))
+      .collect().map(_.toSeq).toSet
+    assert(cached == fresh)
+  }
+
   test("dedupClusters: every similarity edge lands inside one cluster") {
     val labels = GraphOps.dedupClusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
