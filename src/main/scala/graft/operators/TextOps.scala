@@ -318,6 +318,12 @@ object TextOps {
         size(toks).as("n_words"),
         round(size(array_distinct(toks)).cast("double") / size(toks), 4)
           .as("diversity"))
+      // a NULL-text document has no diversity score and cannot be ranked
+      // — excluded by POLICY (curriculum phases cover scoreable docs
+      // only; TextOpsSpec pins the exclusion). Without this filter a
+      // null score reaches the histogram's getDouble as a silent 0.0 and
+      // quietly shifts every phase boundary.
+      .filter(col("diversity").isNotNull)
       .localCheckpoint() // one corpus scan feeds histogram + both paths
     // bounded collect: ≤ 10001 distinct 4-dp scores by construction
     val hist = scored.groupBy("diversity").agg(count(lit(1)).as("cnt"))
@@ -840,12 +846,14 @@ object TextOps {
     * vocab ([[bpeTrain]]), encode the vocab ([[bpeEncode]]), and report
     * the most frequent words with their learned subword splits plus the
     * corpus compression the vocab buys (weighted tokens per word vs
-    * characters per word). Rows-only: the trained merge table is
-    * corpus-dependent model state, not expressible as static SQL —
-    * TextOpsSpec proves the encode against a driver brute force and the
-    * reconstruction invariant (concat(tokens) == word). The tokens
+    * characters per word). Fully hash-checked: the trained merge table
+    * is deterministic model state, so the DuckDB oracle RE-TRAINS it —
+    * [[bpeEncodeOracle]] unrolls the merge rounds as CTEs, the same
+    * replay discipline as the Lloyd-trained ANN oracles. TextOpsSpec
+    * additionally proves the encode against a driver brute force and
+    * the reconstruction invariant (concat(tokens) == word). The tokens
     * column is emitted "|"-joined (scalar, sortable) rather than as a
-    * raw array so rows-only checkers can order the frame. */
+    * raw array so hash checkers can order the frame. */
   def bpeEncodeDocs(s: SparkSession, d: String): DataFrame = {
     val vocab = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -1496,6 +1504,64 @@ object TextOps {
       |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS w
       |  FROM documents)""".stripMargin
 
+  /** DuckDB replay of [[bpeEncodeDocs]]: `n` unrolled merge rounds over
+    * the exploded (word, pos, sym) vocab — the same trained-model-state
+    * discipline as the Lloyd-replay ANN oracles (the merge table is
+    * deterministic given the corpus, so the oracle re-trains it instead
+    * of receiving it). Each round: pair counts via lead() (t = the
+    * arg-max pair with the exact Spark tie-break cnt DESC, a, b), then
+    * the greedy left-to-right fold applied POSITIONALLY — a position
+    * merges iff it matches (a, b) and sits at an ODD offset within its
+    * run of consecutive matching positions. Runs longer than 1 only
+    * occur when a = b (match at i and i+1 forces sym[i+1] = b = a), and
+    * a round never chains into its own output (the merged symbol a||b
+    * can't equal a), so odd-offset selection IS the fold's semantics —
+    * TextOpsSpec separately pins the Spark fold against a driver brute
+    * force, and this replay hash-matches it end to end. */
+  private def bpeEncodeOracle(n: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and round r references round r−1 three times — inlined,
+    // the 12-round chain expands 3^12 scans of the corpus (observed as
+    // "Too many open files"); materialized, the replay is linear
+    val rounds = (1 to n).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT word, f, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM e${r - 1}),
+         |t$r AS MATERIALIZED (SELECT a, b FROM (
+         |  SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM n$r WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$r AS MATERIALIZED (SELECT word, pos FROM (
+         |  SELECT word, pos,
+         |    row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+         |  FROM (SELECT x.word, x.pos,
+         |      x.pos - row_number() OVER (PARTITION BY x.word ORDER BY x.pos) AS grp
+         |    FROM n$r x, t$r t WHERE x.sym = t.a AND x.nxt = t.b))
+         |  WHERE rn % 2 = 1),
+         |e$r AS MATERIALIZED (SELECT word, f,
+         |  row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |  CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT x.word, x.f, x.pos, x.sym, x.nxt,
+         |      (m.pos IS NOT NULL) AS merged
+         |    FROM n$r x LEFT JOIN m$r m ON x.word = m.word AND x.pos = m.pos
+         |    WHERE NOT EXISTS (SELECT 1 FROM m$r m2
+         |      WHERE m2.word = x.word AND m2.pos = x.pos - 1)))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 2 GROUP BY word),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, f, i AS pos, substr(word, i, 1) AS sym
+       |  FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i)),
+       |$rounds
+       |SELECT word, f, string_agg(sym, '|' ORDER BY pos) AS tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(length(word) AS BIGINT) AS n_chars
+       |FROM e$n GROUP BY word, f
+       |ORDER BY f DESC, word LIMIT 30""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // exhaustive O(n²) scan — at oracle scale only; a hash match proves
     // the Spark side's deletion-key blocking has exhaustive recall
@@ -1920,6 +1986,7 @@ object TextOps {
         |SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
         |FROM pairs GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "llm_bpe_encode" -> bpeEncodeOracle(12),
     "llm_bigrams" ->
       """WITH bg AS (
         |  SELECT lang,

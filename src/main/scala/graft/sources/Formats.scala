@@ -305,8 +305,8 @@ object Formats {
     * reconstructs exactly the declarative semantics. Prices ride as
     * decimal(18,2) so the +100 reprice is exact in both engines. */
   def snapshotMerge(s: SparkSession, d: String): DataFrame = {
-    val t = java.nio.file.Files.createTempDirectory("graft_merge")
-      .resolve("t").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_merge")
+    val t = root.resolve("t").toString
     val orders = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         dec2(col("o_totalprice")).as("o_totalprice"))
@@ -319,13 +319,66 @@ object Formats {
       .unionByName(orders.filter(col("o_orderkey") % 997 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
     SnapshotTable.merge(s, t, updates, "o_orderkey")
-    SnapshotTable.read(s, t)
+    val out = SnapshotTable.read(s, t)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice")).cast("double").as("total"),
         min("o_orderkey").as("min_key"),
         max("o_orderkey").as("max_key"))
       .orderBy("o_orderstatus")
+      // materialize BEFORE deleting the scratch table: the returned
+      // frame is otherwise a lazy plan over files we're about to remove
+      .localCheckpoint()
+    rmTree(root)
+    out
+  }
+
+  /** TIME TRAVEL on the declared surface: commit orders as version 1,
+    * MERGE a deterministic update set (reprice keys ≤ 300, clone the
+    * %1009 keys to new ids) as version 2, then read BOTH versions via
+    * [[SnapshotTable.readVersion]] and emit the row-level diff — the
+    * bag difference each way, which for per-snapshot-unique keys is the
+    * anti-join each way: an updated row surfaces as one 'added' (new
+    * price) plus one 'removed' (old price), an inserted key as 'added'
+    * only. The DuckDB oracle restates both versions declaratively over
+    * the original orders table; a hash match proves version-pinned
+    * reads reconstruct exactly the pre- and post-merge row sets —
+    * i.e. that old versions remain byte-faithfully readable after a
+    * copy-on-write commit rewrote their files out of HEAD. */
+  def snapshotTimetravel(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tt")
+    val t = root.resolve("t").toString
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("o_totalprice"))
+    SnapshotTable.commit(s, t,
+      orders.repartitionByRange(4, col("o_orderkey")), append = false)
+    val updates = orders.filter(col("o_orderkey") <= 300)
+      .withColumn("o_totalprice", dec2(col("o_totalprice") + lit(50)))
+      .unionByName(orders.filter(col("o_orderkey") % 1009 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L)))
+    val v2 = SnapshotTable.merge(s, t, updates, "o_orderkey")
+    val before = SnapshotTable.readVersion(s, t, v2 - 1)
+    val after = SnapshotTable.readVersion(s, t, v2)
+    val out = after.exceptAll(before).withColumn("change", lit("added"))
+      .unionByName(before.exceptAll(after).withColumn("change", lit("removed")))
+      .select(col("change"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy("change", "o_orderkey")
+      .localCheckpoint() // materialize before the scratch table goes
+    rmTree(root)
+    out
+  }
+
+  /** Recursive delete of a scratch snapshot-table dir — the queries
+    * above build real manifest/data trees under a fresh temp dir per
+    * run; leaving them behind leaks a table per bench sweep. */
+  private def rmTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,7 +387,8 @@ object Formats {
     "source_orc"      -> (sourceOrc(_, _)),
     "source_textline" -> (sourceTextline(_, _)),
     "layout_zorder"   -> (layoutZorder(_, _)),
-    "snapshot_merge"  -> (snapshotMerge(_, _)))
+    "snapshot_merge"  -> (snapshotMerge(_, _)),
+    "snapshot_timetravel" -> (snapshotTimetravel(_, _)))
 
   /** Oracles read the ORIGINAL parquet tables — the round-trip must be
     * lossless for the hashes to match. */
@@ -383,6 +437,31 @@ object Formats {
         |  CAST(SUM(o_totalprice) AS DOUBLE) AS total,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "snapshot_timetravel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(o_totalprice + 50 AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM base WHERE o_orderkey <= 300
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 1009 = 0),
+        |v2 AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd),
+        |diff AS (
+        |  SELECT 'added' AS change, * FROM (
+        |    SELECT * FROM v2 EXCEPT ALL SELECT * FROM base)
+        |  UNION ALL
+        |  SELECT 'removed' AS change, * FROM (
+        |    SELECT * FROM base EXCEPT ALL SELECT * FROM v2))
+        |SELECT change, o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM diff ORDER BY change, o_orderkey""".stripMargin,
     "layout_zorder" ->
       """SELECT user_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,

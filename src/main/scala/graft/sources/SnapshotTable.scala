@@ -326,6 +326,23 @@ object SnapshotTable {
     val upd = updates.localCheckpoint()
     try {
       if (upd.isEmpty) return v // empty update set: metadata no-op
+      // MERGE maintains key uniqueness per snapshot (rowChanges and every
+      // consumer depend on it) — an update set carrying the same key
+      // twice, or a NULL key (which no equi-join can ever match), would
+      // silently break that invariant INSIDE the committed table, so it
+      // fails the commit instead. One aggregate over the already-pinned
+      // update set; cost is update-scale, not table-scale.
+      val bad = upd.groupBy(col(key)).agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__n"))
+        .filter(col("__n") > 1 || col(key).isNull)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        if (bad.nonEmpty && bad(0).isNullAt(0))
+          s"merge updates carry a NULL '$key' — a null key matches no row"
+        else
+          s"merge updates carry duplicate '$key' — upsert semantics " +
+            "need one update row per key")
       // stage 1: manifest stats. Footer stats exist only for integral
       // columns — a non-integral key keeps every file a candidate (the
       // semi-join stage still prunes exactly).
@@ -357,6 +374,21 @@ object SnapshotTable {
           .join(upd.select(key), Seq(key), "left_semi")
           .select("__file").distinct()
           .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      // representation guard: input_file_name() URIs and manifest paths
+      // are produced by DIFFERENT code (Hadoop FS vs java.nio) — if
+      // their normal forms ever diverge (scheme prefix, double slash,
+      // symlinked root), the partition below would silently classify
+      // every touched file as "carried" and the merge would APPEND
+      // updates instead of replacing matched rows, breaking key
+      // uniqueness inside the committed snapshot. Matched keys were
+      // found in stage 2, so every touched path MUST resolve to a
+      // manifest entry — assert it rather than corrupt the table.
+      val entryPaths = all.map(e => Paths.get(e.path).toAbsolutePath.toString).toSet
+      val unmatched = touchedPaths.filterNot(entryPaths.contains)
+      require(unmatched.isEmpty,
+        s"touched file(s) not resolvable to manifest entries — path " +
+          s"representation drift between scan and manifest: " +
+          unmatched.take(3).mkString(", "))
       val (touched, carried) = all.partition(e => touchedPaths.contains(
         Paths.get(e.path).toAbsolutePath.toString))
       val out =
@@ -384,6 +416,17 @@ object SnapshotTable {
       meta: Seq[String]): Long = {
     val dataDir = Paths.get(table, "data", UUID.randomUUID().toString)
     df.write.parquet(dataDir.toString)
+    finishRewrite(spark, table, dataDir, carried, schema, meta)
+  }
+
+  /** Manifest half of a rewrite commit: scrape footers of whatever the
+    * caller wrote under `dataDir`, list `carried` by reference, swap
+    * HEAD. Split out so [[compactPlanned]] can stage SEVERAL writes
+    * (one per plan group) into one dataDir and still commit once. */
+  private def finishRewrite(spark: SparkSession, table: String,
+      dataDir: Path, carried: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType,
+      meta: Seq[String]): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val newEntries = Files.list(dataDir).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
@@ -456,6 +499,61 @@ object SnapshotTable {
       math.ceil(small.map(_.rows).sum.toDouble / targetRows).toLong).toInt
     commitRewrite(spark, table, df.coalesce(nOut), large,
       schema.getOrElse(df.schema), meta = Seq.empty)
+  }
+
+  /** Execute a greedy compaction PLAN — the EXECUTION half of
+    * [[graft.operators.ChunkCatalog.chunkCompact]]'s planner (which
+    * stays a pure-metadata query): order the current snapshot's files
+    * by their manifest min on `column` (the planner's `ORDER BY
+    * block_start` — keeps merged files covering contiguous ranges so
+    * [[filesForRange]] pruning survives compaction), greedily pack
+    * adjacent files by the planner's exact integer arithmetic
+    * (`group = (cum − rows) div target`, `target = max(total div
+    * groups, 1)`), and rewrite each multi-file group into EXACTLY ONE
+    * file. Singleton groups carry into the new manifest by reference —
+    * zero bytes moved, the [[merge]]/[[deleteWhere]] rewrite
+    * discipline. Each group stages a `coalesce(1)` write into the SAME
+    * commit data dir (append mode) and the manifest commits once at the
+    * end — the driver loop is group-count bounded (metadata scale) and
+    * each group's read-coalesce-write is an independent executor-side
+    * job, the embarrassingly-parallel shape the planner's Scaladoc
+    * promises. Old versions keep the fragmented layout (time travel
+    * intact); SnapshotSpec proves file count = group count with
+    * set-equal rows. */
+  def compactPlanned(spark: SparkSession, table: String, column: String,
+      groups: Int = 8): Long = {
+    val v = currentVersion(table)
+    require(v > 0, s"no committed snapshot in $table")
+    val all = entries(table, v)
+    if (all.size < 2) return v
+    val ordered = all.sortBy(e =>
+      (e.stats.get(column).map(_._1).getOrElse(Long.MaxValue), e.path))
+    val total = math.max(ordered.map(e => math.max(e.rows, 0L)).sum, 1L)
+    val target = math.max(total / groups, 1L)
+    var cum = 0L
+    val tagged = ordered.map { e =>
+      val start = cum
+      cum += math.max(e.rows, 0L)
+      (start / target) -> e
+    }
+    val plan = tagged.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+    val (multi, single) = plan.partition(_.size > 1)
+    if (multi.isEmpty) return v // every group already one file: no-op
+    val schema = schemaOf(table, v)
+    def readFiles(fs: Seq[FileEntry]): DataFrame = schema match {
+      case Some(st) => spark.read.schema(st).parquet(fs.map(_.path): _*)
+      case None => spark.read.parquet(fs.map(_.path): _*)
+    }
+    val dataDir = Paths.get(table, "data", UUID.randomUUID().toString)
+    // one staged single-file write per group — NOT a union of
+    // coalesce(1) frames, which the planner is free to collapse back
+    // into one partition (observed: one output file for the whole plan)
+    multi.foreach { g =>
+      readFiles(g).coalesce(1).write.mode("append").parquet(dataDir.toString)
+    }
+    finishRewrite(spark, table, dataDir, single.flatten,
+      schema.getOrElse(readFiles(all).schema),
+      meta = Seq(s"#compacted=planned($column,groups=${plan.size})"))
   }
 
   /** OPTIMIZE ZORDER: rewrite the current snapshot's data files

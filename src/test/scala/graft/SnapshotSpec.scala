@@ -465,6 +465,76 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 60)
   }
 
+  test("compactPlanned executes the greedy plan: one file per group, data + history intact") {
+    val t = tmp()
+    // 12 single-file commits with CONTIGUOUS key ranges (the planner's
+    // block_start ordering analog) and deliberately uneven sizes
+    val sizes = Seq(40, 10, 10, 40, 10, 10, 10, 40, 10, 10, 10, 10)
+    var lo = 0L
+    sizes.foreach { n =>
+      SnapshotTable.commit(spark, t,
+        (lo until lo + n).toDF("k").withColumn("v", col("k") * 2)
+          .repartition(1))
+      lo += n
+    }
+    val v0 = SnapshotTable.currentVersion(t)
+    val before = SnapshotTable.read(spark, t).as[(Long, Long)].collect().toSet
+    val filesBefore = SnapshotTable.entries(t, v0)
+    assert(filesBefore.size == sizes.size)
+    // replay the planner's integer arithmetic locally to get the
+    // expected group count — the spec must agree with the plan, not
+    // with whatever the execution happened to produce
+    val ordered = filesBefore.sortBy(e =>
+      (e.stats.get("k").map(_._1).getOrElse(Long.MaxValue), e.path))
+    val target = math.max(ordered.map(_.rows).sum / 4L, 1L)
+    var cum = 0L
+    val expectedGroups = ordered.map { e =>
+      val g = cum / target; cum += e.rows; g
+    }.distinct.size
+    val v1 = SnapshotTable.compactPlanned(spark, t, "k", groups = 4)
+    assert(v1 == v0 + 1)
+    val filesAfter = SnapshotTable.entries(t, v1)
+    assert(filesAfter.size == expectedGroups,
+      s"expected $expectedGroups files (one per plan group), got ${filesAfter.size}")
+    // byte-identical contents, and the greedy packing preserved key
+    // contiguity: every compacted file still covers a prunable range
+    assert(SnapshotTable.read(spark, t).as[(Long, Long)].collect().toSet == before)
+    val spans = filesAfter.flatMap(_.stats.get("k")).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"compacted ranges overlap: $spans")
+      case _ => ()
+    }
+    // time travel: the fragmented layout still serves at v0
+    assert(SnapshotTable.entries(t, v0).size == sizes.size)
+    assert(SnapshotTable.readVersion(spark, t, v0)
+      .as[(Long, Long)].collect().toSet == before)
+    // idempotence: a second pass finds every group already one file
+    assert(SnapshotTable.compactPlanned(spark, t, "k", groups = 4) == v1)
+  }
+
+  test("merge refuses duplicate and NULL update keys before touching the table") {
+    val t = tmp()
+    SnapshotTable.commit(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), append = false)
+    val v = SnapshotTable.currentVersion(t)
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val eDup = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, t, dup, "k")
+    }
+    assert(eDup.getMessage.contains("duplicate"))
+    val withNull = Seq((Some(1L), "x"), (None, "y"))
+      .toDF("k", "v")
+    val eNull = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, t, withNull, "k")
+    }
+    assert(eNull.getMessage.contains("NULL"))
+    // a refused merge is a NO-OP: no new version, data untouched
+    assert(SnapshotTable.currentVersion(t) == v)
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("compact carries right-sized files by reference") {
     val t = tmp()
     SnapshotTable.commit(spark, t, (1 to 500).toDF("n").coalesce(1))

@@ -410,4 +410,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == ("stop", false))
     assert(out(5L) == ("topword", false))
   }
+
+  test("curriculum: NULL-text docs are excluded by policy, not silently phase-0") {
+    // curriculum reads documents.parquet from a dir — stage a corpus
+    // with one unscoreable (NULL text) doc among 40 scoreable ones
+    val dir = java.nio.file.Files.createTempDirectory("graft_curr").toString
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (1 to 20).map(j => s"w${(i * j) % 13}").mkString(" "),
+        "en", "syn", 100L)
+    } :+ ((41L, null: String, "en", "syn", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val phases = TextOps.curriculum(spark, dir)
+      .select("phase", "n_docs").as[(Int, Long)].collect().toMap
+    // the 40 scoreable docs split 4-way; the NULL doc is in NO phase
+    assert(phases.values.sum == 40L,
+      s"expected 40 ranked docs (NULL excluded), got ${phases.values.sum}")
+    assert(phases.keySet == Set(1, 2, 3, 4))
+  }
 }
