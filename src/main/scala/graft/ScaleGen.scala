@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: synthesize a LARGER scale factor from an existing one by
+  * key-shifted replication — `factor` replicas of every table, each with
+  * its key columns offset by `r * 10^8` so join relationships (orders ⋈
+  * customer, lineitem ⋈ part/supplier) hold within each replica and all
+  * cardinalities grow by `factor`. Documents additionally get a replica
+  * marker prefixed to `text` (r > 0), so replicas are NEAR-duplicates of
+  * the base corpus rather than exact clones — the realistic shape for
+  * the dedup pipeline at scale (exact-dup behavior would otherwise
+  * change: every doc gaining `factor−1` byte-identical copies).
+  *
+  * This exists for the sf1 BENCH checkpoint (scale growth of each query,
+  * hunting super-linear behavior), not for correctness runs — the DuckDB
+  * oracle gate stays on the driver-generated sf0.01. Bounded probe
+  * queries (doc_id < 150 subsets, fixed query vectors) deliberately keep
+  * their size: only replica 0 holds those ids, which is exactly the
+  * bounded-probe contract; corpus-wide queries scale with the factor.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <factor>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val OFF = 100000000L // all sf0.1 keys are far below 10^8
+
+    def replicate(base: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
+      (0 until factor).map(r => shift(base, r * OFF)).reduce(_.unionByName(_))
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // fixed-size dimensions copy through unscaled (25 nations stay 25
+    // nations at every TPC-H sf; scaling them would distort every
+    // broadcast-dim join the bench exercises)
+    write(Tables.region(spark, src), "region")
+    write(Tables.nation(spark, src), "nation")
+    // names get a DOUBLED-digit replica prefix (r11, r22, …): cloning
+    // names verbatim makes every name appear `factor` times, which
+    // quadratically inflates any name-blocked join (llm_fuzzy_join's
+    // deletion-key buckets grew ~100× on the first cut of this
+    // generator) — and a single-digit distinguisher would still leave
+    // every replica pair at edit distance 1, i.e. a LEGITIMATE fuzzy
+    // match. Doubling the digit puts any two replicas ≥2 edits apart,
+    // so the edit-distance-≤1 workload scales by corpus size, not by
+    // clone-family size²
+    def mark(nameCol: String, o: Long)(d: DataFrame): DataFrame =
+      if (o == 0L) d
+      else d.withColumn(nameCol,
+        concat(lit(s"r${o / OFF}${o / OFF}"), col(nameCol)))
+    write(replicate(Tables.customer(spark, src)) { (d, o) =>
+      mark("c_name", o)(d.withColumn("c_custkey", col("c_custkey") + o)) },
+      "customer")
+    write(replicate(Tables.supplier(spark, src)) { (d, o) =>
+      mark("s_name", o)(d.withColumn("s_suppkey", col("s_suppkey") + o)) },
+      "supplier")
+    write(replicate(Tables.part(spark, src)) { (d, o) =>
+      d.withColumn("p_partkey", col("p_partkey") + o) }, "part")
+    write(replicate(Tables.orders(spark, src)) { (d, o) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + o)
+        .withColumn("o_custkey", col("o_custkey") + o) }, "orders")
+    write(replicate(Tables.lineitem(spark, src)) { (d, o) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + o)
+        .withColumn("l_partkey", col("l_partkey") + o)
+        .withColumn("l_suppkey", col("l_suppkey") + o) }, "lineitem")
+    // events.ts arrives as TIMESTAMP(NANOS); Tables.events already
+    // truncates to µs, so the scaled copy is a plain µs timestamp
+    write(replicate(Tables.events(spark, src)) { (d, o) =>
+      d.withColumn("event_id", col("event_id") + o)
+        .withColumn("user_id", col("user_id") + o) }, "events")
+    write(replicate(Tables.documents(spark, src)) { (d, o) =>
+      val marked =
+        if (o == 0L) d
+        else d.withColumn("text", concat(lit(s"r${o / OFF} "), col("text")))
+          .withColumn("n_chars", col("n_chars") + lit(s"r${o / OFF} ".length.toLong))
+      marked.withColumn("doc_id", col("doc_id") + o) }, "documents")
+    write(replicate(Tables.embeddings(spark, src)) { (d, o) =>
+      d.withColumn("vec_id", col("vec_id") + o) }, "embeddings")
+    spark.stop()
+    println(s"""{"scaled":"$src","to":"$out","factor":$factor}""")
+  }
+}
