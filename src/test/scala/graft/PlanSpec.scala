@@ -293,12 +293,10 @@ class PlanSpec extends SparkSpec {
       "llm_dedup_minhash", "llm_simhash", "llm_simhash_neardup",
       "llm_simhash_band", "llm_embed_lsh", "llm_dedup_groups",
       // binaryFile reader exposes env-local absolute paths/mtimes
-      "source_binaryfile",
-      // BPE encode applies a TRAINED merge list sequentially per word —
-      // the greedy left-to-right fold over learned ranks has no DuckDB
-      // SQL equivalent; TextOpsSpec checks it against a driver
-      // re-implementation instead
-      "llm_bpe_encode"),
+      // (llm_bpe_encode left this set in r9: its trained merge list
+      // replays as unrolled materialized DuckDB CTEs, the same
+      // discipline as the Lloyd ANN oracles)
+      "source_binaryfile"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
