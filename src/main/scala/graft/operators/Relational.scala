@@ -656,11 +656,15 @@ object Relational {
     * resamples materialize as B weight columns in ONE scan and the
     * standard error of the mean falls out of the replicate spread
     * (Chamandy et al., "Estimating Uncertainty for Massive Data
-    * Streams", Google 2012). Weights are deterministic: 16-bit md5 of
-    * (orderkey, linenumber, replicate) compared against the integer
-    * CDF thresholds above — every engine and every re-run draws the
-    * identical resamples, which is what lets DuckDB replay the whole
-    * estimator and hash-match. B = 8 replicates; per group the
+    * Streams", Google 2012). Weights are deterministic: the B=8
+    * replicate draws are the eight disjoint 16-bit slices of ONE md5 of
+    * (orderkey, linenumber) — a 128-bit digest is exactly 8 independent
+    * uniform 16-bit draws, so one hash per row replaces the former
+    * per-replicate hashing (8 md5/row, the reason this was the suite's
+    * slowest query) with identical estimator semantics. Each slice
+    * compares against the integer CDF thresholds above — every engine
+    * and every re-run draws the identical resamples, which is what lets
+    * DuckDB replay the whole estimator and hash-match. Per group the
     * aggregate carries 2B+2 sufficient statistics, nothing else. */
   /** Replicate count shared by [[aggBootstrap]] and its oracle. */
   private val BootReps = 8
@@ -668,35 +672,52 @@ object Relational {
   def aggBootstrap(s: SparkSession, d: String): DataFrame = {
     val B = BootReps
     val x = dec2(col("l_quantity"))
-    def h16(b: Int) = conv(substring(md5(concat(
-      col("l_orderkey").cast("string"), lit("_"),
-      col("l_linenumber").cast("string"), lit(s"_$b")).cast("binary")),
-      1, 4), 16, 10).cast("long")
-    // materialize each replicate's hash ONCE per row: inlining h16 into
-    // every CASE arm made the aggregate evaluate ~2·|CDF| md5+conv
-    // chains per replicate per row (≈96/row — benched 16 s at sf0.1);
-    // hashing in a projection below the aggregate is 8/row and lets
-    // the weight CASE read a long column
+    // materialize the hashes ONCE per row in a projection below the
+    // aggregate: inlining into every CASE arm made the aggregate
+    // evaluate ~2·|CDF| hash chains per replicate per row (≈96/row —
+    // benched 16 s at sf0.1); here the weight CASE reads a long column.
+    // The two-step projection (digest, then slices) keeps ONE md5/row
+    // even if CollapseProject inlines the digest into all 8 slice
+    // expressions — codegen subexpression elimination dedups the
+    // repeated md5 subtree within the collapsed Project.
     def kOf(b: Int) = PoisCdf16.zipWithIndex
       .foldRight(lit(PoisCdf16.size): Column) { case ((t, k), rest) =>
         when(col(s"h$b") < t, k).otherwise(rest)
       }
-    val hashed = Tables.lineitem(s, d).select(
-      Seq(col("l_returnflag"), x.as("x")) ++
-        (0 until B).map(b => h16(b).as(s"h$b")): _*)
+    // weights k$b are projected BELOW the aggregate too: each CASE
+    // ladder runs once per row instead of twice (sum(x·k) and sum(k)
+    // would otherwise each evaluate it inside the aggregate). The
+    // measure rides as exact CENTS (long) — the 2B+2 sufficient sums
+    // are then pure long arithmetic, overflow-safe to ~10^14 rows,
+    // and the oracle replays the identical integer sums.
+    val hashed = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (x * 100).cast("long").as("xc"),
+        md5(concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")).cast("binary")).as("hhex"))
+      .select(
+        Seq(col("l_returnflag"), col("xc")) ++
+          (0 until B).map(b =>
+            conv(substring(col("hhex"), 1 + 4 * b, 4), 16, 10)
+              .cast("long").as(s"h$b")): _*)
+      .select(
+        Seq(col("l_returnflag"), col("xc")) ++
+          (0 until B).map(b => kOf(b).cast("long").as(s"k$b")): _*)
     val aggs =
-      Seq(count(lit(1)).as("n"), sum(col("x")).as("sx")) ++
+      Seq(count(lit(1)).as("n"), sum(col("xc")).as("sx")) ++
         (0 until B).flatMap { b =>
-          Seq(sum(col("x") * kOf(b)).as(s"sw$b"),
-            sum(kOf(b).cast("long")).as(s"c$b"))
+          Seq(sum(col("xc") * col(s"k$b")).as(s"sw$b"),
+            sum(col(s"k$b")).as(s"c$b"))
         }
     val m = hashed.groupBy("l_returnflag")
       .agg(aggs.head, aggs.tail: _*)
-    val means = (0 until B).map(b => col(s"sw$b").cast("double") / col(s"c$b"))
+    // /100 restores units: sw is cents·weight, c is a pure count
+    val means = (0 until B).map(b =>
+      col(s"sw$b").cast("double") / 100d / col(s"c$b"))
     val mbar = means.reduce(_ + _) / B
     val se = sqrt(means.map(mb => (mb - mbar) * (mb - mbar))
       .reduce(_ + _) / (B - 1))
-    val meanObs = col("sx").cast("double") / col("n")
+    val meanObs = col("sx").cast("double") / 100d / col("n")
     m.select(col("l_returnflag"), col("n").as("n_rows"),
         round(meanObs, 4).as("mean_obs"),
         round(se, 6).as("boot_se"),
@@ -1032,10 +1053,11 @@ object Relational {
   }
 
   /** DuckDB replay of [[aggBootstrap]] — same thresholds, same
-    * expression order, generated from the same constants. */
+    * expression order, generated from the same constants; the replicate
+    * draw is the same 16-bit slice of the same single-digest md5. */
   private def bootstrapOracle(bReps: Int): String = {
     def h16(b: Int) =
-      s"CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '_$b'), 1, 4) AS BIGINT)"
+      s"CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), ${1 + 4 * b}, 4) AS BIGINT)"
     def kOf(b: Int) = {
       val cases = PoisCdf16.zipWithIndex
         .map { case (t, k) => s"WHEN ${h16(b)} < $t THEN $k" }
@@ -1043,16 +1065,16 @@ object Relational {
       s"(CASE $cases ELSE ${PoisCdf16.size} END)"
     }
     val aggCols = (0 until bReps).map { b =>
-      s"""    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * ${kOf(b)}) AS DOUBLE) AS sw$b,
+      s"""    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * ${kOf(b)}) AS DOUBLE) AS sw$b,
          |    CAST(SUM(${kOf(b)}) AS BIGINT) AS c$b""".stripMargin
     }.mkString(",\n")
-    val meanCols = (0 until bReps).map(b => s"    sw$b / c$b AS m$b").mkString(",\n")
+    val meanCols = (0 until bReps).map(b => s"    sw$b / 100 / c$b AS m$b").mkString(",\n")
     val mbar = s"(${(0 until bReps).map(b => s"m$b").mkString(" + ")}) / ${bReps}"
     val sq = (0 until bReps).map(b => s"(m$b - mbar) * (m$b - mbar)").mkString(" + ")
     s"""WITH agg AS (
        |  SELECT l_returnflag,
        |    CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) AS sx,
        |$aggCols
        |  FROM lineitem GROUP BY l_returnflag),
        |means AS (
@@ -1064,10 +1086,10 @@ object Relational {
        |se AS (
        |  SELECT *, sqrt(($sq) / ${bReps - 1}) AS se FROM mb)
        |SELECT l_returnflag, n AS n_rows,
-       |  ROUND(sx / n, 4) AS mean_obs,
+       |  ROUND(sx / 100 / n, 4) AS mean_obs,
        |  ROUND(se, 6) AS boot_se,
-       |  ROUND(sx / n - 1.96 * se, 4) AS ci_lo,
-       |  ROUND(sx / n + 1.96 * se, 4) AS ci_hi
+       |  ROUND(sx / 100 / n - 1.96 * se, 4) AS ci_lo,
+       |  ROUND(sx / 100 / n + 1.96 * se, 4) AS ci_hi
        |FROM se ORDER BY l_returnflag""".stripMargin
   }
 
