@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the sf1-checkpoint generator: the scale claims in
+  * bench_sf1.json are only meaningful if the synthesized corpus
+  * actually preserves the workload's join/dedup structure. */
+class ScaleGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val out: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    ScaleGen.main(Array(sf, dir, "2"))
+    dir
+  }
+
+  test("every table scales by the factor; fixed dims copy through") {
+    def n(d: String, t: String): Long = spark.read.parquet(s"$d/$t.parquet").count()
+    Seq("customer", "supplier", "part", "orders", "lineitem", "events",
+      "documents", "embeddings").foreach { t =>
+      assert(n(out, t) == 2 * n(sf, t), s"$t did not scale 2x")
+    }
+    Seq("region", "nation").foreach(t => assert(n(out, t) == n(sf, t), t))
+  }
+
+  test("join relationships hold within each replica") {
+    // every lineitem still finds its order, every order its customer —
+    // key shifting must move FK and PK together or the scaled joins
+    // silently turn into misses and every join bench lies
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    val orphanLi = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
+    assert(orphanLi == 0, s"$orphanLi lineitem rows lost their order")
+    val orphanO = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
+    assert(orphanO == 0, s"$orphanO orders lost their customer")
+  }
+
+  test("replica documents are near-duplicates, not exact; names sit >=2 edits apart") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    // exact-dup count unchanged from the base corpus: replicas differ by
+    // their marker prefix, so scaling never manufactures exact clones
+    val baseDup = Tables.documents(spark, sf)
+      .groupBy("text").count().filter(col("count") > 1).count()
+    val scaledDup = docs.groupBy("text").count().filter(col("count") > 1).count()
+    assert(scaledDup == 2 * baseDup,
+      s"exact-dup groups $scaledDup != 2x base $baseDup — replicas collide")
+    // clone names at edit distance >= 2: a distance-1 family would
+    // quadratically inflate the edit-distance-<=1 fuzzy join
+    val minDist = spark.read.parquet(s"$out/customer.parquet")
+      .select((col("c_custkey") % 100000000L).as("base"), col("c_name"))
+      .groupBy("base").agg(collect_list("c_name").as("names"))
+      .select(explode(expr(
+        """flatten(transform(names, (a, i) ->
+          |  transform(slice(names, i + 2, size(names)), b ->
+          |    levenshtein(a, b))))""".stripMargin)).as("d"))
+      .agg(min("d")).head().getInt(0)
+    assert(minDist >= 2, s"replica names at edit distance $minDist")
+  }
+}
