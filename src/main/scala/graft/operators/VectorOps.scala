@@ -495,7 +495,13 @@ object VectorOps {
     * hash-exactly. Output: the DROPPED rows — any vector with a
     * lower-id near-dup in its cell (the min-id representative
     * survives, SemDeDup's keep rule). The self-join shuffles 64-byte
-    * int8 vectors by cell, never the float corpus. */
+    * int8 vectors by cell, never the float corpus. Scale note: the
+    * cell COUNT here is a fixed constant (the oracle replays it), so a
+    * 10× corpus makes cells 10× denser — the sf1 checkpoint measured
+    * ≈ linear growth regardless (9.5× at 10× data, bench_sf1.json); at
+    * production scale k grows with the corpus so the largest cell — and
+    * with it the quadratic term — stays bounded, the paper's own
+    * prescription. */
   def semDedup(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents = emb.filter(col("vec_id") < 8)
