@@ -110,7 +110,13 @@ object Bench {
       times.filterNot(_._1.startsWith("sql_")).sortBy(-_._2).take(10)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"load":$loadJson,"detail":"bench_$sfName.json","queries":${toJson(headline)},"sf":"$sfDir"}"""
     spark.stop()
-    // last stdout line of the run — nothing may print after it
+    // last stdout line of the run — nothing may print after it. The
+    // line is ALSO echoed via stderr first (sbt re-logs a forked JVM's
+    // stderr through its own logger), so a harness that tail-truncates
+    // the output has two chances to capture one complete copy —
+    // BENCH_r07/r08 recorded "parsed": null with the per-query data
+    // surviving only in the separately-written canonical file.
+    System.err.println(line)
     println(line)
   }
 }
