@@ -25,7 +25,6 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
-    val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +32,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, factorS.toInt)
+    // main OWNS its session; generate() never stops a caller's (the
+    // spec drives it inside the shared test session)
+    spark.stop()
+    println(s"""{"scaled":"$src","to":"$out","factor":${factorS.toInt}}""")
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val OFF = 100000000L // all sf0.1 keys are far below 10^8
 
     def replicate(base: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
@@ -86,7 +93,5 @@ object ScaleGen {
       marked.withColumn("doc_id", col("doc_id") + o) }, "documents")
     write(replicate(Tables.embeddings(spark, src)) { (d, o) =>
       d.withColumn("vec_id", col("vec_id") + o) }, "embeddings")
-    spark.stop()
-    println(s"""{"scaled":"$src","to":"$out","factor":$factor}""")
   }
 }

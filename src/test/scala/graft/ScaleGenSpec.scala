@@ -10,7 +10,10 @@ class ScaleGenSpec extends SparkSpec {
 
   private lazy val out: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
-    ScaleGen.main(Array(sf, dir, "2"))
+    // generate(), not main() — main owns (and STOPS) its own session,
+    // which inside the suite would kill the shared one for every test
+    // that runs after this file
+    ScaleGen.generate(spark, sf, dir, 2)
     dir
   }
 
