@@ -870,6 +870,37 @@ object TextOps {
       .limit(30)
   }
 
+  /** CORPUS-level BPE tokenization — the 100 TB encode shape the
+    * [[bpeEncode]] Scaladoc promises: the merge fold runs once per
+    * DISTINCT word (vocab-sized frame), and the corpus then pays only a
+    * dictionary equi-join from its token stream to the per-word token
+    * counts — re-encoding per occurrence would re-run the fold once per
+    * word INSTANCE instead of once per word. Words below the trainer's
+    * length-2 floor tokenize as themselves (1 token). The dictionary
+    * broadcasts here (vocab ≪ corpus); an open-vocabulary corpus swaps
+    * in a shuffle equi-join with no other change. Output: per-language
+    * exact token/char totals — the numbers a tokenizer-budget planner
+    * consumes. Fully hash-oracled via [[bpeCorpusOracle]]'s replay. */
+  def bpeCorpusStats(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .localCheckpoint() // one corpus read feeds train and encode
+    val merges = bpeTrain(vocab, nMerges = 12)
+    val tok = bpeEncode(vocab, merges)
+      .select(col("word"), size(col("tokens")).cast("long").as("n_tok"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(broadcast(tok), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tok"), lit(1L))).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .orderBy("lang")
+  }
+
   /** Train/eval decontamination: eval docs (odd doc_id) sharing too many
     * 3-gram shingles with any train doc (even doc_id). The inverted-index
     * join on shingles is the scalable form — candidate pairs only where a
@@ -1462,6 +1493,7 @@ object TextOps {
     "llm_bigrams"       -> (bigrams(_, _)),
     "llm_bpe_pairs"     -> (bpePairs(_, _)),
     "llm_bpe_encode"    -> (bpeEncodeDocs(_, _)),
+    "llm_bpe_corpus"    -> (bpeCorpusStats(_, _)),
     "llm_contamination" -> (contamination(_, _)),
     "llm_dedup_exact"   -> (dedupExact(_, _)),
     "llm_text_stats"    -> (textStats(_, _)),
@@ -1518,7 +1550,39 @@ object TextOps {
     * can't equal a), so odd-offset selection IS the fold's semantics —
     * TextOpsSpec separately pins the Spark fold against a driver brute
     * force, and this replay hash-matches it end to end. */
-  private def bpeEncodeOracle(n: Int): String = {
+  private def bpeEncodeOracle(n: Int): String =
+    s"""${bpeReplayCtes(n)}
+       |SELECT word, f, string_agg(sym, '|' ORDER BY pos) AS tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(length(word) AS BIGINT) AS n_chars
+       |FROM e$n GROUP BY word, f
+       |ORDER BY f DESC, word LIMIT 30""".stripMargin
+
+  /** DuckDB replay of [[bpeCorpusStats]]: the [[bpeReplayCtes]] trained
+    * encode, reduced to a per-word token-count dictionary and joined
+    * back to the corpus token stream — the same dictionary-join the
+    * Spark side does. */
+  private def bpeCorpusOracle(n: Int): String =
+    s"""${bpeReplayCtes(n)},
+       |tok AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+       |  FROM e$n GROUP BY word)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(COALESCE(t.n_tok, 1)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(length(w.word)) AS BIGINT) AS n_chars
+       |FROM (
+       |  SELECT lang, word
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1) w
+       |LEFT JOIN tok t USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Shared CTE chain replaying `n` BPE merge rounds over the corpus
+    * vocab — `vocab, e0, n1..e$n` ending with the fully-encoded
+    * exploded symbol table `e$n` (word, f, pos, sym). */
+  private def bpeReplayCtes(n: Int): String = {
     // every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
     // reference, and round r references round r−1 three times — inlined,
     // the 12-round chain expands 3^12 scans of the corpus (observed as
@@ -1554,12 +1618,7 @@ object TextOps {
        |e0 AS MATERIALIZED (
        |  SELECT word, f, i AS pos, substr(word, i, 1) AS sym
        |  FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i)),
-       |$rounds
-       |SELECT word, f, string_agg(sym, '|' ORDER BY pos) AS tokens,
-       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |  CAST(length(word) AS BIGINT) AS n_chars
-       |FROM e$n GROUP BY word, f
-       |ORDER BY f DESC, word LIMIT 30""".stripMargin
+       |$rounds""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -1987,6 +2046,7 @@ object TextOps {
         |FROM pairs GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "llm_bpe_encode" -> bpeEncodeOracle(12),
+    "llm_bpe_corpus" -> bpeCorpusOracle(12),
     "llm_bigrams" ->
       """WITH bg AS (
         |  SELECT lang,

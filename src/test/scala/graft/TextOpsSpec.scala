@@ -411,6 +411,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) == ("topword", false))
   }
 
+  test("bpe corpus stats: conservation invariants against raw corpus totals") {
+    val out = TextOps.bpeCorpusStats(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // per-language totals must reconcile exactly with the raw corpus:
+    // chars = sum of word lengths, and BPE tokens are bracketed by
+    // [words, chars] (a merge only ever shrinks a word's token count
+    // from chars toward 1, never below 1 per word)
+    val raw = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("w"), sum(length(col("word"))).as("c"))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, w, c) => l -> (w, c) }.toMap
+    out.foreach { case (lang, nWords, nTok, nChars) =>
+      val (w, c) = raw(lang)
+      assert(nWords == w, s"$lang words $nWords != $w")
+      assert(nChars == c, s"$lang chars $nChars != $c")
+      assert(nTok >= nWords && nTok <= nChars,
+        s"$lang tokens $nTok outside [$nWords, $nChars]")
+    }
+    // 12 merges on real text must actually compress something
+    assert(out.map(_._3).sum < out.map(_._4).sum, "no compression at all")
+  }
+
   test("curriculum: NULL-text docs are excluded by policy, not silently phase-0") {
     // curriculum reads documents.parquet from a dir — stage a corpus
     // with one unscoreable (NULL text) doc among 40 scoreable ones
