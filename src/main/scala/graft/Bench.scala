@@ -24,6 +24,17 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // (steal, total) jiffies from /proc/stat: on a shared VM the
+    // hypervisor can throttle this guest with loadavg reading IDLE —
+    // observed as 145 s → 194 s on identical code at ambient load 0.8.
+    // The steal fraction over the run is the signal loadavg cannot see.
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val n = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get("/proc/stat")).get(0)
+          .split("\\s+").drop(1).map(_.toLong)
+        (if (n.length > 7) n(7) else 0L, n.sum)
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
     // uncounted warm-up: session init, parquet footers, codegen JIT —
     // steady-state throughput is what scales, not first-query setup
     try {
@@ -73,10 +84,15 @@ object Bench {
     // transient spike contaminates at most one of them.
     val names = SparkEntry.queries.toSeq
     val loadBefore = loadavg()
+    val (steal0, jif0) = cpuJiffies()
     val sweep1 = names.map { case (n, fn) => n -> once(n, fn) }
     val loadMid = loadavg()
     val sweep2 = names.map { case (n, fn) => n -> once(n, fn) }
     val loadAfter = loadavg()
+    val (steal1, jif1) = cpuJiffies()
+    val stealPct =
+      if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
+      else -1.0
     val s2 = sweep2.toMap
     val results = sweep1.map { case (n, (t1, m1)) =>
       val (t2, m2) = s2(n)
@@ -94,7 +110,7 @@ object Bench {
     // was wedged during that query's runs
     val missJson = results.collect { case (n, _, m) if m > 0 => s"\"$n\":$m" }
       .mkString("{", ",", "}")
-    val loadJson = s"""{"before":$loadBefore,"mid":$loadMid,"after":$loadAfter}"""
+    val loadJson = s"""{"before":$loadBefore,"mid":$loadMid,"after":$loadAfter,"steal_pct":$stealPct}"""
     val sfName = new java.io.File(sfDir).getName
     // FULL per-query map goes to a file artifact: at 120+ queries the
     // one-line JSON passed ~5 KB and the driver's stdout tail-capture cut
