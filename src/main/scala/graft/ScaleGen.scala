@@ -42,6 +42,23 @@ object ScaleGen {
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     val OFF = 100000000L // all sf0.1 keys are far below 10^8
 
+    // loud guard, not an assumption: re-running over an ALREADY-scaled
+    // dir (keys ≥ OFF) would silently collide replica key ranges —
+    // breaking FK joins and dedup structure while every test stays
+    // green. One cheap agg per table buys a hard failure instead.
+    def checked(base: DataFrame, keys: String*): DataFrame = {
+      if (factor > 1 && keys.nonEmpty) {
+        val aggs = keys.map(k => max(col(k).cast("long")).as(k))
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        keys.zipWithIndex.foreach { case (k, i) =>
+          require(row.isNullAt(i) || row.getLong(i) < OFF,
+            s"ScaleGen: max($k)=${row.getLong(i)} >= replica offset $OFF " +
+              s"in $src — already-scaled source? replica key ranges would collide")
+        }
+      }
+      base
+    }
+
     def replicate(base: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
       (0 until factor).map(r => shift(base, r * OFF)).reduce(_.unionByName(_))
     def write(df: DataFrame, name: String): Unit =
@@ -65,33 +82,34 @@ object ScaleGen {
       if (o == 0L) d
       else d.withColumn(nameCol,
         concat(lit(s"r${o / OFF}${o / OFF}"), col(nameCol)))
-    write(replicate(Tables.customer(spark, src)) { (d, o) =>
+    write(replicate(checked(Tables.customer(spark, src), "c_custkey")) { (d, o) =>
       mark("c_name", o)(d.withColumn("c_custkey", col("c_custkey") + o)) },
       "customer")
-    write(replicate(Tables.supplier(spark, src)) { (d, o) =>
+    write(replicate(checked(Tables.supplier(spark, src), "s_suppkey")) { (d, o) =>
       mark("s_name", o)(d.withColumn("s_suppkey", col("s_suppkey") + o)) },
       "supplier")
-    write(replicate(Tables.part(spark, src)) { (d, o) =>
+    write(replicate(checked(Tables.part(spark, src), "p_partkey")) { (d, o) =>
       d.withColumn("p_partkey", col("p_partkey") + o) }, "part")
-    write(replicate(Tables.orders(spark, src)) { (d, o) =>
+    write(replicate(checked(Tables.orders(spark, src), "o_orderkey", "o_custkey")) { (d, o) =>
       d.withColumn("o_orderkey", col("o_orderkey") + o)
         .withColumn("o_custkey", col("o_custkey") + o) }, "orders")
-    write(replicate(Tables.lineitem(spark, src)) { (d, o) =>
+    write(replicate(checked(Tables.lineitem(spark, src),
+        "l_orderkey", "l_partkey", "l_suppkey")) { (d, o) =>
       d.withColumn("l_orderkey", col("l_orderkey") + o)
         .withColumn("l_partkey", col("l_partkey") + o)
         .withColumn("l_suppkey", col("l_suppkey") + o) }, "lineitem")
     // events.ts arrives as TIMESTAMP(NANOS); Tables.events already
     // truncates to µs, so the scaled copy is a plain µs timestamp
-    write(replicate(Tables.events(spark, src)) { (d, o) =>
+    write(replicate(checked(Tables.events(spark, src), "event_id", "user_id")) { (d, o) =>
       d.withColumn("event_id", col("event_id") + o)
         .withColumn("user_id", col("user_id") + o) }, "events")
-    write(replicate(Tables.documents(spark, src)) { (d, o) =>
+    write(replicate(checked(Tables.documents(spark, src), "doc_id")) { (d, o) =>
       val marked =
         if (o == 0L) d
         else d.withColumn("text", concat(lit(s"r${o / OFF} "), col("text")))
           .withColumn("n_chars", col("n_chars") + lit(s"r${o / OFF} ".length.toLong))
       marked.withColumn("doc_id", col("doc_id") + o) }, "documents")
-    write(replicate(Tables.embeddings(spark, src)) { (d, o) =>
+    write(replicate(checked(Tables.embeddings(spark, src), "vec_id")) { (d, o) =>
       d.withColumn("vec_id", col("vec_id") + o) }, "embeddings")
   }
 }

@@ -608,6 +608,17 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fingerprint frame for the bounded pair queries, materialized ONCE
+    * (`localCheckpoint`): without it the simhash subtree — the
+    * distinct-token explode + 64 bit-vote aggregation, the dominant
+    * corpus scan — feeds BOTH sides of the self-join and executes twice
+    * per query, the exact duplicated-subtree pattern [[VectorOps.semDedup]]
+    * documents and fixes. The materialized frame is (doc_id, 64-char
+    * string) rows — trivial at any subset bound. PlanSpec pins that the
+    * join plans read the checkpointed RDD and contain no xxhash64. */
+  private def simhashSubset(s: SparkSession, d: String): DataFrame =
+    simhash(s, d).filter(col("doc_id") < 150).localCheckpoint()
+
   /** SimHash near-dup pairs on a bounded subset via the native
     * [[graft.functions.NativeExpressions.hamming_dist]] codegen expression
     * (B48). At 100 TB the pair join is LSH-banded on 16-bit fingerprint
@@ -615,7 +626,7 @@ object TextOps {
     * join here is the verification baseline. Rows-only (xxhash64 family
     * not reproducible in DuckDB). */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(s, d).filter(col("doc_id") < 150)
+    val sh = simhashSubset(s, d)
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         graft.functions.NativeExpressions
@@ -644,7 +655,7 @@ object TextOps {
     * Rows-only (xxhash64 family not reproducible in DuckDB). */
   def simhashBandPairs(s: SparkSession, d: String): DataFrame = {
     val bands = 11
-    val sh = simhash(s, d).filter(col("doc_id") < 150)
+    val sh = simhashSubset(s, d)
     val slices = (0 until bands).map { i =>
       val lo = i * 64 / bands
       val hi = (i + 1) * 64 / bands
@@ -890,10 +901,18 @@ object TextOps {
     val merges = bpeTrain(vocab, nMerges = 12)
     val tok = bpeEncode(vocab, merges)
       .select(col("word"), size(col("tokens")).cast("long").as("n_tok"))
+    // the broadcast is GATED, not assumed: the dictionary is vocab-sized
+    // and vocab grows with the corpus, so a hard hint would eventually
+    // OOM the driver instead of degrading. The count is one cheap job
+    // over the already-checkpointed vocab; above the cap the hint is
+    // dropped and the encode join degrades to a shuffle equi-join —
+    // the open-vocabulary shape — with no other change.
+    val dict =
+      if (vocab.count() <= 1000000L) broadcast(tok) else tok
     Tables.documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
-      .join(broadcast(tok), Seq("word"), "left")
+      .join(dict, Seq("word"), "left")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_tok"), lit(1L))).as("n_bpe_tokens"),
@@ -1886,7 +1905,7 @@ object TextOps {
         |p AS (
         |  SELECT n_words, diversity,
         |    ntile(4) OVER (ORDER BY diversity DESC, doc_id) AS phase
-        |  FROM scored)
+        |  FROM scored WHERE diversity IS NOT NULL)
         |SELECT CAST(phase AS INT) AS phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_words) AS BIGINT) AS token_budget,
         |  MIN(diversity) AS min_diversity, MAX(diversity) AS max_diversity

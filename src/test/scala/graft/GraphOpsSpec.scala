@@ -122,9 +122,25 @@ class GraphOpsSpec extends SparkSpec {
     changed.unpersist(blocking = false)
   }
 
+  // deterministic listener drain: LiveListenerBus.waitUntilEmpty() is
+  // private[spark], so it is reached reflectively — a fixed sleep can
+  // flake when a straggling SQLExecutionStart from a PRIOR test lands
+  // inside the listening window under load
+  private def drainListenerBus(): Unit =
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      val ms = bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
+      ms.find(_.getParameterCount == 0) match {
+        case Some(m) => m.invoke(bus)
+        case None => ms.find(_.getParameterCount == 1)
+          .foreach(_.invoke(bus, java.lang.Long.valueOf(10000L)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => Thread.sleep(500) }
+
   test("cluster layout: second call runs zero queries; artifact matches fresh CC") {
     GraphOps.ensureClusterLayout(spark, sf) // build (or reuse) the layout
-    Thread.sleep(500)                       // drain build-time listener events
+    drainListenerBus()                      // drain build-time listener events
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
@@ -137,7 +153,7 @@ class GraphOpsSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val dir = try {
       val d = GraphOps.ensureClusterLayout(spark, sf)
-      Thread.sleep(500) // listener delivery is async
+      drainListenerBus() // listener delivery is async
       // the cached path is a pure _BUILT existence check — re-training
       // per consumer is exactly the shape this artifact exists to kill
       assert(execs.get() == 0,

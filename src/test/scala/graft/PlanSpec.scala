@@ -300,6 +300,20 @@ class PlanSpec extends SparkSpec {
       s"unexpected rows-only set: $rowsOnly")
   }
 
+  test("simhash pair queries: fingerprint frame materialized once, not per join side") {
+    // the simhash subtree (token explode + 64 bit-vote aggregate) must
+    // NOT appear in the pair-join plan at all — both sides read the one
+    // localCheckpointed fingerprint frame; before the fix the executed
+    // plan grew two identical xxhash64 aggregation subtrees
+    for (q <- Seq("llm_simhash_neardup", "llm_simhash_band")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("xxhash64"),
+        s"$q re-evaluates the simhash subtree in the join plan:\n" + plan.take(3000))
+      assert(plan.contains("ExistingRDD"),
+        s"$q does not read the checkpointed fingerprint frame:\n" + plan.take(3000))
+    }
+  }
+
   test("llm_bm25: term filter runs map-side below the tf shuffle; joins broadcast") {
     val plan = executedPlan(TextOps.bm25(spark, sf))
     // df + corpus stats are broadcast, never shuffled joins

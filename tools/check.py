@@ -29,8 +29,14 @@ def norm(v):
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata is a single file; Spark-written (ScaleGen) tables
+        # are directories of part files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
