@@ -263,7 +263,10 @@ object GraphOps {
     * keyed on the DOCUMENTS files: regenerating testdata invalidates
     * the cache instead of silently serving clusters of the old corpus. */
   def clusterLayoutDir(d: String): String =
-    VectorOps.corpusLayoutDir(d, "graft-dedup-cc-v1", "documents.parquet")
+    // v2: the MinHash band family moved from xxhash64 to md5-derived
+    // permutations (round 10) — the corpus-wide labels in a v1 artifact
+    // would silently disagree with the new oracle
+    VectorOps.corpusLayoutDir(d, "graft-dedup-cc-v2", "documents.parquet")
 
   /** Build-ONCE cluster assignment tables for corpus `d`:
     *
@@ -332,8 +335,9 @@ object GraphOps {
     * connected components groups them into duplicate clusters, and the
     * keeper is min(doc_id) per cluster. Output is the cluster-size
     * histogram plus survivor count — the number a curation run reports.
-    * Rows-only (xxhash64 band family is not DuckDB-reproducible); the
-    * component math itself is oracle-proven by [[dedupClusters]].
+    * Hash-oracled since the md5 band-family switch: the oracle replays
+    * signature → bands → candidate edges → components (recursive CTE,
+    * the [[dedupClusters]] discipline) → histogram, end to end.
     * Reads the [[ensureClusterLayout]] artifact's corpus-wide labels —
     * the pipeline runs once per corpus build, not once per consumer. */
   def dedupGroups(s: SparkSession, d: String): DataFrame = {
@@ -592,6 +596,26 @@ object GraphOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // full corpus-wide dedup pipeline replay: md5 MinHash bands
+    // (TextOps.bandSignaturesSql) → candidate edges → recursive-CTE
+    // components → cluster-size histogram
+    "llm_dedup_groups" ->
+      s"""WITH RECURSIVE ${graft.operators.TextOps.bandSignaturesSql},
+         |medges AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |msym AS (SELECT a, b FROM medges UNION SELECT b, a FROM medges),
+         |mnodes AS (SELECT DISTINCT doc_id FROM documents),
+         |reach AS (
+         |  SELECT doc_id AS src, doc_id AS dst FROM mnodes
+         |  UNION
+         |  SELECT r.src, s.b FROM reach r JOIN msym s ON r.dst = s.a),
+         |lab AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+         |cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY comp)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "graph_communities" -> lpaOracle(rounds = 3),
     "graph_bfs" -> bfsOracle(rounds = 4),
     "graph_linkpred" ->

@@ -529,47 +529,69 @@ object TextOps {
   }
 
   /** LSH band keys per document: `(doc_id, band, bh)` — n_perm=32
-    * xxhash64 permutations over 3-shingles, 8 bands × 4 rows. The one
-    * hash family every dedup consumer shares ([[minhashPairs]],
-    * [[IncrementalDedup]]) — factored out so batch and incremental
-    * dedup can NEVER disagree on what "collides" means.
+    * md5-derived permutations over 3-shingles, 8 bands × 4 rows. The
+    * one hash family every dedup consumer shares ([[minhashPairs]],
+    * [[IncrementalDedup]], [[GraphOps.ensureClusterLayout]]'s
+    * corpus-wide labels) — factored out so batch and incremental dedup
+    * can NEVER disagree on what "collides" means. The base shingle hash
+    * is md5 (its two 32-bit halves), the permutations are [[mhConst]]
+    * affine maps over those halves — md5 over xxhash64 (r1–r9) because
+    * DuckDB computes the identical hex, which moves the whole minhash
+    * family onto the hash-checked oracle board; the band key is
+    * likewise an md5-prefix string of the band's signature slice.
     *
     * Shape: explode (doc, shingle), then take the 32 per-permutation
     * mins in ONE hash aggregate — partial (map-side) min combine means
     * the shuffle carries 32 longs per doc, not the shingle sets — the
     * shape that survives 100 TB. (A single nested-lambda expression
     * computing the whole signature per row codegens into a huge method
-    * and ran ~30× slower at sf0.01.) One 64-bit base hash per shingle
-    * string; each permutation re-hashes the LONG (single xxhash64
-    * round, no string traversal, and no wrapping multiply — ANSI mode
-    * rejects overflowing Long arithmetic). */
+    * and ran ~30× slower at sf0.01.) ONE md5 per shingle (32 md5s per
+    * shingle — the obvious per-permutation rehash — benched 4.5× the
+    * whole query cost at sf0.1); the 32 permutations are affine maps
+    * (a_p·hi + b_p·lo + c_p) over the digest's first 60 bits split into
+    * two 30-bit halves, with md5-derived [[mhConst]] coefficients
+    * < 2^29 (products ≤ 2^59 — ANSI-safe, no wrapping multiply),
+    * reading the middle 30 bits so the affine map's monotonicity in
+    * (hi, lo) never survives into the min (the shift window wraps ~2^13
+    * times over the value range). */
   def bandSignatures(docs: DataFrame): DataFrame = {
     val nPerm = 32
     val bands = 8
     val rowsPerBand = nPerm / bands
     val exploded = docs
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    def perm(i: Int): Column = xxhash64(col("h"), lit(i))
+      // ONE hex→long conversion per shingle: the digest's first 60 bits,
+      // split into two 30-bit halves arithmetically
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h60"))
+      .select(col("doc_id"),
+        shiftright(col("h60"), 30).as("hi"),
+        col("h60").bitwiseAND(lit((1L << 30) - 1)).as("lo"))
+    def perm(i: Int): Column =
+      shiftright(
+        lit(mhConst("a", i)) * col("hi") + lit(mhConst("b", i)) * col("lo")
+          + lit(mhConst("c", i)), 16)
+        .bitwiseAND(lit((1L << 30) - 1))
     val sig = exploded.groupBy("doc_id")
       .agg(min(perm(0)).as("h0"),
         (1 until nPerm).map(i => min(perm(i)).as(s"h$i")): _*)
-    // band key = hash of the band's rowsPerBand signature values
+    // band key = md5 prefix of the band's rowsPerBand signature values
     sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-            .as("bh"))
+          substring(md5(concat_ws("_",
+            (b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => col(s"h$i").cast("string")): _*)), 1, 16).as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** MinHash signature + LSH banding near-dup candidates (the 100 TB
     * dedup path: candidate pairs = equi-join on (band, band_hash)
-    * buckets over [[bandSignatures]] — never O(n²)).
-    * xxhash64(shingle, seed) plays the permutation family. Not DuckDB-
-    * expressible → rows-only check + scalatest property vs exact Jaccard.
-    */
+    * buckets over [[bandSignatures]] — never O(n²)). md5(seed ∥ shingle)
+    * plays the permutation family, so the DuckDB oracle replays the
+    * full signature → band → candidate pipeline hash-exactly; the
+    * scalatest property vs exact Jaccard still holds independently. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val banded = bandSignatures(Tables.documents(s, d))
     banded.as("a").join(banded.as("b"),
@@ -580,26 +602,36 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash: 64-bit fingerprint from per-token xxhash64 bit votes,
-    * emitted as a 64-char bit string (exact at all 64 bits — a double
-    * reconstruction would lose bits ≥ 2^53). Shape: explode distinct
-    * tokens once, then 64 trivial ±1-vote sums in ONE hash aggregate —
-    * the nested transform×zip_with lambda form codegens into a huge
-    * method and ran ~4× slower (same lesson as the MinHash permutations);
-    * the explode+simple-aggs form is also the 100 TB shape (shuffle
-    * carries (doc_id, 64 longs), map-side partial votes). Rows-only
-    * (hash family not reproducible in DuckDB); hamming-neighborhood
-    * property is scalatest-verified. */
+  /** SimHash: 64-bit fingerprint from per-token md5 bit votes, emitted
+    * as a 64-char bit string (exact at all 64 bits — a double
+    * reconstruction would lose bits ≥ 2^53). The token hash is the
+    * first 64 bits of md5(token), carried as two 32-bit halves (a full
+    * 64-bit value can overflow signed Long under ANSI; two exact conv()
+    * halves cannot) — chosen over xxhash64 (r1–r9) precisely because
+    * DuckDB computes the identical md5 hex, which moves the whole
+    * simhash family from rows-only onto the hash-checked oracle board.
+    * Shape: explode distinct tokens once, then 64 trivial ±1-vote sums
+    * in ONE hash aggregate — the nested transform×zip_with lambda form
+    * codegens into a huge method and ran ~4× slower; the
+    * explode+simple-aggs form is also the 100 TB shape (shuffle
+    * carries (doc_id, 64 longs), map-side partial votes). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(words(col("text")))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), md5(col("w")).as("hx"))
+      // hex chars 1-8 are the hash's HIGH 32 bits (MSB first): bit i of
+      // the 64-bit hash reads from hi for i >= 32, lo below
+      .select(col("doc_id"),
+        conv(substring(col("hx"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("lo"))
     // one ±1 vote column per bit (MSB first, matching bin()'s layout);
     // arithmetic shiftright + mask reads the bit sign-independently
-    val votes = (63 to 0 by -1).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$i"))
+    val votes = (63 to 0 by -1).map { i =>
+      val bit = if (i >= 32) shiftright(col("hi"), i - 32)
+                else shiftright(col("lo"), i)
+      sum(when(bit.bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
     hashed.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
@@ -623,8 +655,9 @@ object TextOps {
     * [[graft.functions.NativeExpressions.hamming_dist]] codegen expression
     * (B48). At 100 TB the pair join is LSH-banded on 16-bit fingerprint
     * slices first (same shape as [[minhashPairs]]); the exhaustive subset
-    * join here is the verification baseline. Rows-only (xxhash64 family
-    * not reproducible in DuckDB). */
+    * join here is the verification baseline. Hash-oracled since the md5
+    * fingerprint switch (DuckDB recomputes fingerprints and counts
+    * differing bit chars). */
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     val sh = simhashSubset(s, d)
     sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -651,8 +684,8 @@ object TextOps {
     * skew handling applies to hot buckets). Bounded to the same doc_id
     * subset as [[simhashNearDup]] because the tiny synthetic vocabulary
     * makes ~90% of ALL pairs collide (corpus pathology, not algorithm) —
-    * TextOpsSpec proves band-join recall == the exhaustive baseline.
-    * Rows-only (xxhash64 family not reproducible in DuckDB). */
+    * TextOpsSpec proves band-join recall == the exhaustive baseline, and
+    * the DuckDB oracle replays the banding itself. */
   def simhashBandPairs(s: SparkSession, d: String): DataFrame = {
     val bands = 11
     val sh = simhashSubset(s, d)
@@ -1640,7 +1673,123 @@ object TextOps {
        |$rounds""".stripMargin
   }
 
+  /** DuckDB replay of [[simhash]]'s fingerprint build (md5 bit votes →
+    * 64-char bit string), CTE prefix shared by the three simhash
+    * oracles. `where` optionally bounds the doc subset. */
+  private def simhashSql(where: String): String =
+    s"""t AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents $where),
+       |hh AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS hi,
+       |    CAST('0x' || substring(md5(w), 9, 8) AS BIGINT) AS lo
+       |  FROM t),
+       |v AS (
+       |  SELECT doc_id, i,
+       |    SUM(CASE WHEN ((CASE WHEN i >= 32 THEN hi >> (i - 32)
+       |                    ELSE lo >> i END) & 1) = 1
+       |        THEN 1 ELSE -1 END) AS vote
+       |  FROM hh, LATERAL (SELECT unnest(generate_series(0, 63)) AS i)
+       |  GROUP BY doc_id, i),
+       |f AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, ''
+       |               ORDER BY i DESC) AS simhash
+       |  FROM v GROUP BY doc_id)""".stripMargin
+
+  /** Hamming distance between two 64-char bit strings in SQL (INT, the
+    * native `hamming_dist` expression's type). */
+  private def hammingSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CASE WHEN substring($a, i, 1) <> substring($b, i, 1)
+       |           THEN 1 ELSE 0 END)) AS INT)""".stripMargin
+
+  /** md5-derived coefficient in [1, 2^29) for [[bandSignatures]]'s
+    * affine permutation family — stream `t` ∈ {a, b, c}, permutation
+    * `p`. Scala-computed, baked as literals into BOTH engines' plans
+    * (the [[VectorOps.rpSign]] discipline). */
+  private[graft] def mhConst(t: String, p: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"mh_${t}_$p".getBytes("UTF-8"))
+    new java.math.BigInteger(1, h.take(8))
+      .mod(java.math.BigInteger.valueOf((1L << 29) - 1)).longValue + 1
+  }
+
+  /** DuckDB CTE prefix replaying [[bandSignatures]] (shingle md5 → 32
+    * affine permutation mins → 8 md5-prefix band keys) — shared by the
+    * llm_dedup_minhash oracle here and [[GraphOps]]'s llm_dedup_groups
+    * component replay. */
+  private[operators] def bandSignaturesSql: String = {
+    val consts = (0 until 32).map(p =>
+      s"(${p}, ${mhConst("a", p)}, ${mhConst("b", p)}, ${mhConst("c", p)})")
+      .mkString(",\n      ")
+    s"""sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS sh
+      |    FROM documents,
+      |      LATERAL (SELECT unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i))
+      |  WHERE length(sh) > 0),
+      |sh60 AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h60
+      |  FROM sh),
+      |shh AS (
+      |  SELECT doc_id, h60 >> 30 AS hi, h60 & ${(1L << 30) - 1} AS lo
+      |  FROM sh60),
+      |mc AS (SELECT * FROM (VALUES
+      |      $consts) m(p, a, b, c)),
+      |perms AS (
+      |  SELECT doc_id, p,
+      |    MIN(((a * hi + b * lo + c) >> 16) & ${(1L << 30) - 1}) AS h
+      |  FROM shh, mc GROUP BY doc_id, p),
+      |bands AS (
+      |  SELECT doc_id, p // 4 AS band,
+      |    substring(md5(string_agg(CAST(h AS VARCHAR), '_' ORDER BY p)), 1, 16) AS bh
+      |  FROM perms GROUP BY doc_id, p // 4)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "llm_dedup_minhash" ->
+      s"""WITH $bandSignaturesSql
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_simhash" ->
+      s"""WITH ${simhashSql("")}
+         |SELECT doc_id, simhash FROM f ORDER BY doc_id""".stripMargin,
+    "llm_simhash_neardup" ->
+      s"""WITH ${simhashSql("WHERE doc_id < 150")},
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    ${hammingSql("a.simhash", "b.simhash")} AS dist
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dist FROM p WHERE dist <= 10
+         |ORDER BY id_a, id_b""".stripMargin,
+    "llm_simhash_band" -> {
+      // the band boundaries are the same integer arithmetic as the
+      // Spark side's slices (i*64/11 .. (i+1)*64/11)
+      val bandSpec = (0 until 11).map { i =>
+        val lo = i * 64 / 11; val hi = (i + 1) * 64 / 11
+        s"SELECT $i AS band, ${lo + 1} AS lo, ${hi - lo} AS len"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${simhashSql("WHERE doc_id < 150")},
+         |bs AS ($bandSpec),
+         |banded AS (
+         |  SELECT doc_id, simhash, band, substring(simhash, lo, len) AS key
+         |  FROM f, bs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${hammingSql("sa", "sb")} AS dist FROM pairs)
+         |SELECT id_a, id_b, dist FROM scored WHERE dist <= 10
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // exhaustive O(n²) scan — at oracle scale only; a hash match proves
     // the Spark side's deletion-key blocking has exhaustive recall
     "llm_fuzzy_join" ->

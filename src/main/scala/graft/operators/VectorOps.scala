@@ -289,23 +289,42 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** The md5-derived ±1 hyperplane sign for sketch bit `j`, component
+    * `i` — [[rpSign]]'s Achlioptas convention under a distinct "hp"
+    * namespace so sketch bits never correlate with [[randProject]]'s
+    * projection dimensions. Like the RP matrix, the hyperplane family
+    * exists identically on every engine/executor from nothing. */
+  def hpSign(i: Int, j: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp_${i}_$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+  }
+
   /** Random-hyperplane (sign) sketch — cosine LSH. Bit j of the sketch
     * is sign(dot(v, h_j)) for a deterministic Rademacher hyperplane
-    * family h_j[i] = ±1 drawn from xxhash64(i, j) parity: no stored
-    * hyperplane matrix, any executor regenerates it from (i, j) alone.
-    * Shape: posexplode the vector once, then nBits trivial signed sums
-    * in ONE hash aggregate — map-side partial combine means the shuffle
-    * carries (vec_id, nBits doubles), the same explode+simple-aggs
-    * lesson as MinHash/SimHash (nested transform×aggregate lambdas
-    * codegen into huge methods). Collision probability per bit is
-    * 1 − θ/π (Charikar, STOC'02), so sketch hamming estimates angle. */
+    * family h_j[i] = ±1 from [[hpSign]]'s md5 parity: no stored
+    * hyperplane matrix — the signs are baked into the plan as literal
+    * arrays (indexed by the exploded component position), so any
+    * engine materializes the identical family, and the DuckDB oracle
+    * replays it from the same Scala-generated literals (this moved
+    * `llm_embed_lsh` from rows-only onto the hash-checked board; the
+    * xxhash64 family it replaces wasn't DuckDB-computable). Votes sum
+    * as exact DECIMAL — partial-aggregation-order-free, the
+    * [[kmeansUpdate]] discipline — so the sign decision is
+    * cross-engine-deterministic even at vote ≈ 0. Hyperplanes cover
+    * components 0..63 (the corpus embedding dim). Shape: posexplode
+    * the vector once, then nBits trivial signed sums in ONE hash
+    * aggregate — map-side partial combine means the shuffle carries
+    * (vec_id, nBits decimals), the same explode+simple-aggs lesson as
+    * MinHash/SimHash. Collision probability per bit is 1 − θ/π
+    * (Charikar, STOC'02), so sketch hamming estimates angle. */
   def hyperplaneSketch(df: DataFrame, nBits: Int = 16): DataFrame = {
     val ex = df.select(col("vec_id"), posexplode(col("embedding")))
       .toDF("vec_id", "i", "x")
     val votes = (0 until nBits).map { j =>
-      sum(col("x").cast("double") *
-        when(xxhash64(col("i"), lit(j)).bitwiseAND(lit(1L)) === 0L, 1.0)
-          .otherwise(-1.0)).as(s"d$j")
+      val signs = array((0 until 64).map(i => lit(hpSign(i, j))): _*)
+      sum(col("x").cast("double").cast("decimal(28,9)") *
+        element_at(signs, col("i") + 1)).as(s"d$j")
     }
     ex.groupBy("vec_id").agg(votes.head, votes.tail: _*)
       .select(col("vec_id"),
@@ -319,10 +338,12 @@ object VectorOps {
     * on ≥ 1 band (pigeonhole), so a band equi-join finds every such pair
     * without the O(n²) product, then exact cosine reranks inside buckets
     * only. The shuffle carries (band, 4-bit key, 16-char sketch) — never
-    * embeddings; candidate rerank re-joins the corpus by id. Rows-only
-    * (xxhash64 hyperplane family not reproducible in DuckDB);
-    * VectorOpsSpec proves band recall == the exhaustive sketch scan and
-    * the sign-sketch's scale/negation invariants. */
+    * embeddings; candidate rerank re-joins the corpus by id.
+    * Hash-oracled since the md5 hyperplane switch (the oracle rebuilds
+    * sketches from the same literal sign matrix and replays the
+    * banding); VectorOpsSpec additionally proves band recall == the
+    * exhaustive sketch scan and the sign-sketch's scale/negation
+    * invariants. */
   def embedLshPairs(s: SparkSession, d: String): DataFrame = {
     val bands = 4
     val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
@@ -1377,7 +1398,58 @@ object VectorOps {
        |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb
        |ORDER BY cell, vec_id""".stripMargin
 
+  /** DuckDB replay of [[embedLshPairs]]: sketches rebuilt from the SAME
+    * Scala-generated [[hpSign]] literal matrix (16 j-rows of 64 signs),
+    * decimal-exact votes, then the 4-band pigeonhole join, hamming ≤ 3
+    * filter, and exact-cosine rerank — the full pipeline, hash-exact. */
+  private def embedLshOracle(nBits: Int, bands: Int): String = {
+    val signRows = (0 until nBits).map { j =>
+      val l = (0 until 64).map(i => hpSign(i, j)).mkString(", ")
+      s"($j, list_value($l))"
+    }.mkString(",\n    ")
+    val bandSpec = (0 until bands)
+      .map(b => s"SELECT $b AS band, ${b * 4 + 1} AS lo")
+      .mkString(" UNION ALL ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id < 300),
+       |sg AS (SELECT * FROM (VALUES
+       |    $signRows) s(j, sgs)),
+       |ex AS (
+       |  SELECT vec_id, i, CAST(emb[i + 1] AS DECIMAL(28,9)) AS x
+       |  FROM emb, LATERAL (SELECT unnest(generate_series(0, len(emb) - 1)) AS i)),
+       |v AS (
+       |  SELECT vec_id, j, SUM(x * sgs[i + 1]) AS vote
+       |  FROM ex, sg GROUP BY vec_id, j),
+       |f AS (
+       |  SELECT vec_id,
+       |    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sketch
+       |  FROM v GROUP BY vec_id),
+       |bs AS ($bandSpec),
+       |banded AS (
+       |  SELECT vec_id, sketch, band, substring(sketch, lo, 4) AS key FROM f, bs),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.sketch AS sa, b.sketch AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(generate_series(1, $nBits),
+       |      i -> CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1)
+       |           THEN 1 ELSE 0 END)) AS INT) AS dist
+       |  FROM pairs)
+       |SELECT s.id_a, s.id_b, s.dist,
+       |  round(${cosSql("ea.emb", "eb.emb")}, 6) AS sim
+       |FROM scored s
+       |JOIN emb ea ON ea.vec_id = s.id_a
+       |JOIN emb eb ON eb.vec_id = s.id_b
+       |WHERE s.dist <= 3
+       |ORDER BY s.id_a, s.id_b""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "llm_embed_lsh" -> embedLshOracle(nBits = 16, bands = 4),
     "llm_kmeans" -> lloydOracle(k = 8, rounds = 5),
     "llm_ann_pq" -> pqOracle(m = 4, k = 16, iters = 3, shortlist = 64,
       topK = 10),

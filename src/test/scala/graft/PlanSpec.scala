@@ -284,18 +284,14 @@ class PlanSpec extends SparkSpec {
 
   test("rows-only queries are exactly the known oracle-inexpressible set") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    // hash families / env-local paths only (the ANN/semdedup float
-    // pipelines all oracle via unrolled Lloyd replays since r7) —
-    // anything else appearing here means an oracle was accidentally lost
+    // env-local paths only: the six xxhash64-family rows (MinHash
+    // permutations, SimHash bits, LSH hyperplane signs, band keys) left
+    // this set in r10 when the families moved to md5-derived hashes the
+    // DuckDB oracles recompute verbatim; llm_bpe_encode left in r9 via
+    // the unrolled trained-merge replay — anything else appearing here
+    // means an oracle was accidentally lost
     assert(rowsOnly == Set(
-      // xxhash64 families: MinHash permutations, SimHash/RP hyperplane
-      // signs, LSH band keys — not reproducible in DuckDB by design
-      "llm_dedup_minhash", "llm_simhash", "llm_simhash_neardup",
-      "llm_simhash_band", "llm_embed_lsh", "llm_dedup_groups",
       // binaryFile reader exposes env-local absolute paths/mtimes
-      // (llm_bpe_encode left this set in r9: its trained merge list
-      // replays as unrolled materialized DuckDB CTEs, the same
-      // discipline as the Lloyd ANN oracles)
       "source_binaryfile"),
       s"unexpected rows-only set: $rowsOnly")
   }
@@ -307,7 +303,7 @@ class PlanSpec extends SparkSpec {
     // plan grew two identical xxhash64 aggregation subtrees
     for (q <- Seq("llm_simhash_neardup", "llm_simhash_band")) {
       val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
-      assert(!plan.contains("xxhash64"),
+      assert(!plan.contains("xxhash64") && !plan.contains("md5"),
         s"$q re-evaluates the simhash subtree in the join plan:\n" + plan.take(3000))
       assert(plan.contains("ExistingRDD"),
         s"$q does not read the checkpointed fingerprint frame:\n" + plan.take(3000))

@@ -35,18 +35,9 @@ class TextOpsSpec extends SparkSpec {
   }
 
   private def minhashOn(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
-    val nPerm = 32; val bands = 8; val rpb = nPerm / bands
-    val exploded = docs.select(col("doc_id"),
-      explode(array_distinct(TextOps.shingles(col("text"), 3))).as("sh"))
-    val sig = exploded.groupBy("doc_id")
-      .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
-        (1 until nPerm).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i")): _*)
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rpb until (b + 1) * rpb).map(i => col(s"h$i")): _*).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // the PRODUCTION banding (not a test-local replica): whatever hash
+    // family bandSignatures ships, these invariants must hold on it
+    val banded = TextOps.bandSignatures(docs)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -25,6 +25,38 @@ class TopKAggSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("win_rank's top-20-per-flag equals the TopKAgg bounded-heap result") {
+    // the EXECUTABLE form of the scale-path pairing IMPLEMENTATION.md
+    // claims for win_rank ("deliberate full-window baseline paired with
+    // topk_per_group"): the same lineitem top-20-per-returnflag
+    // workload through BOTH forms — the full window sort (win_rank's
+    // window spec, Relational.winRank) and the k-heap aggregate whose
+    // shuffle carries 20 pairs per (flag × partition) instead of the
+    // table. Per-flag top-20 price multisets must agree exactly (rows
+    // at tied boundary prices may permute between forms — TopKAggSpec's
+    // first test already proves exact row equality when both sides
+    // share one total order)
+    val li = Tables.lineitem(spark, sf)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_partkey"), col("l_suppkey"))
+    val viaWindow = li.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 20)
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_list(col("l_extendedprice").cast("double"))).as("vals"))
+      .as[(String, Seq[Double])].collect().toMap
+    val viaAgg = li.groupBy("l_returnflag")
+      .agg(TopKAgg.top_k_by(col("l_extendedprice"), col("l_orderkey"), 20).as("top"))
+      .select(col("l_returnflag"),
+        sort_array(expr("transform(top, p -> p.value)")).as("vals"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(viaWindow.keySet == viaAgg.keySet)
+    viaWindow.keySet.foreach { flag =>
+      assert(viaWindow(flag) == viaAgg(flag),
+        s"flag $flag: window and heap top-20 value sets diverge")
+    }
+  }
+
   test("ties break deterministically on payload (larger wins)") {
     val df = Seq((1.0, 1L), (1.0, 2L), (1.0, 3L), (0.5, 9L))
       .toDF("v", "p").withColumn("g", lit("x"))

@@ -82,6 +82,24 @@ def main(out_dir, sf_dir):
     for name, msg in bad:
         print(f"FAIL {name}: {msg}")
     print(f"\n{len(ok)} pass, {len(bad)} fail, {len(noracle)} rows-only")
+    if len(sys.argv) > 3:
+        # optional 3rd arg: write a CORRECTNESS_rN-shaped JSON artifact
+        art = {}
+        for name, n in ok:
+            art[name] = {"rows_match": True, "schema_match": True,
+                         "hash_match": True, "spark_rows": n,
+                         "oracle_rows": n, "err": None}
+        for name, n in noracle:
+            art[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "spark_rows": n,
+                         "oracle_rows": None, "err": "no_oracle"}
+        for name, msg in bad:
+            art[name] = {"rows_match": False, "schema_match": None,
+                         "hash_match": False, "spark_rows": None,
+                         "oracle_rows": None, "err": msg[:500]}
+        with open(sys.argv[3], "w") as f:
+            json.dump(dict(sorted(art.items())), f, indent=2)
+        print(f"wrote {sys.argv[3]}")
     return 1 if bad else 0
 
 
