@@ -42,9 +42,15 @@ def main(out_dir, sf_dir):
 
     ok, bad, noracle = [], [], []
     import os
+    import time
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    for name in names:
+    for i, name in enumerate(names):
+        # per-query progress to stderr, unbuffered: at sf1 a single
+        # oracle replay can run minutes — a silent 30-minute process is
+        # indistinguishable from a hung one without this
+        t0 = time.time()
+        print(f"[{i+1}/{len(names)}] {name} ...", file=sys.stderr, flush=True)
         spark_rel = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         if name not in oracles:
@@ -74,6 +80,8 @@ def main(out_dir, sf_dir):
                 ok.append((name, len(srows)))
         except Exception as e:
             bad.append((name, f"oracle error: {e}"))
+        print(f"[{i+1}/{len(names)}] {name} done in {time.time()-t0:.1f}s",
+              file=sys.stderr, flush=True)
 
     for name, n in ok:
         print(f"PASS {name} ({n} rows)")
