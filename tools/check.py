@@ -45,6 +45,11 @@ def main(out_dir, sf_dir):
     import time
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # GRAFT_CHECK_SKIP=a,b,c — leave out oracles that are prohibitively
+    # expensive at a given SF (e.g. llm_fuzzy_join's deliberately naive
+    # cross-join replay at sf1); skipped names are reported as rows-only
+    skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
+    oracles = {k: v for k, v in oracles.items() if k not in skip}
     for i, name in enumerate(names):
         # per-query progress to stderr, unbuffered: at sf1 a single
         # oracle replay can run minutes — a silent 30-minute process is
