@@ -144,16 +144,25 @@ object SqlQueries {
     * anti-join (q22); date-lag predicates stand in for the missing
     * commit/receipt columns (q4, q12, q21). */
   private val tpchShared: Map[String, String] = Map(
-    // Q1: full pricing summary — one scan, partial+final hash aggregate
+    // Q1: full pricing summary — one scan, partial+final hash aggregate.
+    // sum_charge's factors cast NARROW ((12,2)·(3,2)·(3,2) → (22,6),
+    // exact): with (18,2) casts the triple product derives precision >38
+    // and each engine rounds the per-row value differently. The scale-6
+    // sum is then ROUNDed to cents IN DECIMAL before the DOUBLE cast:
+    // at sf1 the unscaled sum (5.08e16) exceeds 2^53, and DuckDB's
+    // int128/10^scale conversion double-rounds one ULP away from
+    // Spark's correctly-rounded BigDecimal path — cents (5.1e12) stay
+    // exactly convertible through ~sf100. Both were invisible at
+    // sf0.01; sf1 surfaced them as a 6e-6 divergence on the 5e10 sum.
     "sql_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |           * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,

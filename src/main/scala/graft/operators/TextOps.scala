@@ -1253,15 +1253,22 @@ object TextOps {
       .select(col("c"),
         row_number().over(Window.orderBy(col("c").desc, col("w")))
           .cast("long").as("r"))
-    def q8(c: Column): Column = round(c, 8).cast("decimal(18,8)")
+    // (10,8) operands with ONE side widened to (19,8) per product: the
+    // (19,8)·(10,8) multiply is exact in BOTH engines (Spark (30,16),
+    // DuckDB int128 (29,16)) — with (18,8)² DuckDB overflows its int64
+    // width class outright once ln(c) crosses ~9.2 at sf1 counts, and
+    // a symmetric (19,8)² derives 39 digits in Spark, which rounds the
+    // needed 16th decimal away. ln of any count fits 2 integer digits.
+    def q8(c: Column): Column = round(c, 8).cast("decimal(10,8)")
+    def w(c: Column): Column = c.cast("decimal(19,8)")
     val m = ranked
       .select(q8(log(col("r").cast("double"))).as("x"),
         q8(log(col("c").cast("double"))).as("y"))
       .agg(count(lit(1)).as("n_ranks"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(w(col("x")) * col("y")).as("sxy"),
+        sum(w(col("x")) * col("x")).as("sxx"),
+        sum(w(col("y")) * col("y")).as("syy"))
     val n = col("n_ranks").cast("double")
     def d8(c: String): Column = col(c).cast("double")
     val cxy = n * d8("sxy") - d8("sx") * d8("sy")
@@ -2369,16 +2376,16 @@ object TextOps {
         |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
         |  FROM counts QUALIFY r <= 30),
         |t AS (
-        |  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
-        |         CAST(ROUND(ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        |  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 8) AS DECIMAL(10,8)) AS x,
+        |         CAST(ROUND(ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(10,8)) AS y
         |  FROM ranked),
         |m AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
-        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
-        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |    CAST(SUM(CAST(x AS DECIMAL(19,8)) * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,8)) * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,8)) * y) AS DOUBLE) AS syy
         |  FROM t)
         |SELECT n_ranks,
         |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
