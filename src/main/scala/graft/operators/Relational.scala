@@ -1157,10 +1157,13 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
-        // 1e9 multiplier keeps the ordering value injective for partkey
-        // < 1e9 (TPC-H sf ~2500); beyond that switch to a struct ordering
+        // packed ordering key in DECIMAL(38,0) (DuckDB: HUGEINT — its
+        // arg_max takes no struct key): long math overflowed at sf10's
+        // replica-shifted keys (orderkey 9.9e9 × 8 × 1e9 > 2^63), and
+        // the 1e11 slot keeps the pack injective for partkey < 1e11
         max_by(col("l_partkey"),
-          (col("l_orderkey") * 8 + col("l_linenumber")) * 1000000000L + col("l_partkey")).as("last_part"),
+          (col("l_orderkey").cast("decimal(28,0)") * 8 + col("l_linenumber"))
+            * 100000000000L + col("l_partkey")).as("last_part"),
         min(struct(col("l_orderkey"), col("l_linenumber"))).getField("l_orderkey").as("first_okey"))
       .orderBy("l_returnflag")
 
@@ -2413,7 +2416,7 @@ object Relational {
         |  (SELECT string_agg(ls, ',' ORDER BY ls) FROM
         |    (SELECT DISTINCT l_linestatus AS ls FROM lineitem li2
         |     WHERE li2.l_returnflag = li.l_returnflag)) AS statuses,
-        |  arg_max(l_partkey, (l_orderkey * 8 + l_linenumber) * 1000000000 + l_partkey) AS last_part,
+        |  arg_max(l_partkey, (CAST(l_orderkey AS HUGEINT) * 8 + l_linenumber) * 100000000000 + l_partkey) AS last_part,
         |  min(l_orderkey) AS first_okey
         |FROM lineitem li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "win_rank" ->

@@ -1438,21 +1438,27 @@ object TextOps {
     * scan in DuckDB: a hash-identical result PROVES the blocking
     * missed nothing (recall == exhaustive, not asserted but checked).
     *
-    * Plan shape (PlanSpec pins it): `shuffle_hash` — BOTH sides are
-    * the corpus×keys expansion, so Spark's size estimate would happily
-    * broadcast one of them; at sf0.1 that collected 223k keyed rows to
-    * the driver and cost 3× the whole shuffled join (5.1 s → 1.5 s
-    * measured), and at 100 TB it is impossible. Candidate verify uses
-    * the THRESHOLDED `levenshtein(a, b, 1)` (returns −1 past the
-    * bound) so the DP early-exits per candidate. `distinct` because a
-    * pair may share several keys (e.g. equal-prefix deletions). */
+    * Plan shape (PlanSpec pins it): `merge` (sort-merge) — BOTH sides
+    * are the corpus×keys expansion, so Spark's size estimate would
+    * happily broadcast one of them; at sf0.1 that collected 223k keyed
+    * rows to the driver and cost 3× the whole shuffled join (5.1 s →
+    * 1.5 s measured), and at 100 TB it is impossible. `shuffle_hash`
+    * (the r6–r9 choice) also avoids the broadcast but builds an
+    * UNSPILLABLE per-partition hash map of the expansion — the sf10
+    * smoke run OOM'd exactly there (39M keyed rows through 32 fixed
+    * partitions in an 8 GB heap); sort-merge spills and is the join
+    * that survives a corpus-scale expansion on both sides. Candidate
+    * verify uses the THRESHOLDED `levenshtein(a, b, 1)` (returns −1
+    * past the bound) so the DP early-exits per candidate. `distinct`
+    * because a pair may share several keys (e.g. equal-prefix
+    * deletions). */
   def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
     val keyed = Tables.customer(s, d)
       .select(col("c_name").as("name"))
       .select(col("name"), explode(del1Keys(col("name"))).as("k"))
     val a = keyed.withColumnRenamed("name", "name_a")
     val b = keyed.withColumnRenamed("name", "name_b")
-    a.hint("shuffle_hash").join(b, "k")
+    a.hint("merge").join(b, "k")
       .where(col("name_a") < col("name_b") &&
         levenshtein(col("name_a"), col("name_b"), 1) >= 0)
       .select("name_a", "name_b").distinct()

@@ -261,7 +261,10 @@ object Formats {
     val dir = zLayoutDir(d)
     Tables.events(s, d)
       .withColumn("zb", zInterleaveCol(
-        (col("user_id") / 4).cast("int").bitwiseAND(15),
+        // LONG before the mask: replica-shifted user ids pass 2^31 at
+        // sf10 and the ANSI double->int cast aborts the layout build;
+        // the &15 wrap is what the bucket wants anyway (sf10 smoke)
+        (col("user_id") / 4).cast("long").bitwiseAND(15).cast("int"),
         ((dayofmonth(col("ts")) - 1) / 2).cast("int"), ZBits))
       .repartition(col("zb"))
       .sortWithinPartitions("zb", "user_id", "ts")

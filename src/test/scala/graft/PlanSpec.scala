@@ -217,12 +217,15 @@ class PlanSpec extends SparkSpec {
     // the whole point of SymSpell blocking is an equi-join on deletion
     // keys; a cartesian/nested-loop here means the blocking key was lost
     // and the plan re-became the all-pairs scan that dies at 100 TB.
-    // It must also NOT broadcast: both sides are the corpus×keys
-    // expansion (measured 3× slower at sf0.1, impossible at 100 TB)
+    // It must also NOT broadcast (both sides are the corpus×keys
+    // expansion — measured 3× slower at sf0.1, impossible at 100 TB)
+    // and NOT shuffle-hash (unspillable build map of that expansion —
+    // OOM'd the sf10 smoke run): sort-merge is the spill-safe shape
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("NestedLoop"), plan.take(3000))
     assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
-    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
   test("entry smoke: flagship query returns rows") {
