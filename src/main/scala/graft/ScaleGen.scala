@@ -1,17 +1,19 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev utility: synthesize a LARGER scale factor from an existing one by
   * key-shifted replication — `factor` replicas of every table, each with
   * its key columns offset by `r * 10^8` so join relationships (orders ⋈
   * customer, lineitem ⋈ part/supplier) hold within each replica and all
-  * cardinalities grow by `factor`. Documents additionally get a replica
-  * marker prefixed to `text` (r > 0), so replicas are NEAR-duplicates of
-  * the base corpus rather than exact clones — the realistic shape for
-  * the dedup pipeline at scale (exact-dup behavior would otherwise
-  * change: every doc gaining `factor−1` byte-identical copies).
+  * cardinalities grow by `factor`. Documents and embeddings replicate
+  * as BOUNDED near-dup pairs (groups of two replicas, see the inline
+  * notes): dup-cluster size stays O(1) while cluster count grows with
+  * the corpus — the realistic dedup shape at scale. The first cut made
+  * all `factor` replicas of a doc mutual near-dups, which grew the true
+  * near-dup pair count quadratically in the factor and dominated every
+  * dedup-family bench row at sf10.
   *
   * This exists for the sf1 BENCH checkpoint (scale growth of each query,
   * hunting super-linear behavior), not for correctness runs — the DuckDB
@@ -103,13 +105,67 @@ object ScaleGen {
     write(replicate(checked(Tables.events(spark, src), "event_id", "user_id")) { (d, o) =>
       d.withColumn("event_id", col("event_id") + o)
         .withColumn("user_id", col("user_id") + o) }, "events")
+    // Documents: BOUNDED near-dup clusters. The first cut prefixed every
+    // replica with a tiny marker, which made all `factor` replicas of a
+    // doc mutual near-dups — so the TRUE near-dup pair count grew
+    // quadratically in the factor and every dedup-family bench row
+    // (minhash/simhash/semdedup/CC) inherited an O(factor²) output: the
+    // sf10 run measured llm_semdedup at 24.7× and llm_dedup_minhash at
+    // 16.5× growth on 10× data, all of it legitimate pair volume
+    // manufactured by the generator. A real corpus keeps dup-cluster
+    // SIZE O(1) while cluster COUNT grows with the corpus, so replicas
+    // now come in groups of two (g = (r+1)/2): both members interleave a
+    // group marker token after every 3rd word — every 3-word shingle
+    // crossing a chunk boundary carries the marker, so cross-group
+    // Jaccard ≈ 1/7, far below the 8×4 banding threshold, and the
+    // marker's token weight dominates SimHash votes so fingerprints land
+    // ~32 bits apart — and the even member adds one extra prefix token,
+    // making each group an edit-distance-tiny near-dup PAIR. Cluster
+    // size stays ≤2 at any factor; pair count grows linearly.
+    def interleave(text: Column, g: Long): Column =
+      array_join(transform(
+        sequence(lit(0),
+          greatest(floor((size(split(text, " ")) + lit(2)) / lit(3)).cast("int") - 1,
+            lit(0))),
+        i => concat_ws(" ", slice(split(text, " "), i * 3 + 1, lit(3)))),
+        s" gg$g ")
     write(replicate(checked(Tables.documents(spark, src), "doc_id")) { (d, o) =>
+      val r = o / OFF
+      val g = (r + 1) / 2
       val marked =
-        if (o == 0L) d
-        else d.withColumn("text", concat(lit(s"r${o / OFF} "), col("text")))
-          .withColumn("n_chars", col("n_chars") + lit(s"r${o / OFF} ".length.toLong))
+        if (r == 0L) d
+        else {
+          val base = interleave(col("text"), g)
+          val t = if (r % 2 == 0) concat(lit(s"pp$g "), base) else base
+          d.withColumn("text", t).withColumn("n_chars", length(col("text")).cast("long"))
+        }
       marked.withColumn("doc_id", col("doc_id") + o) }, "documents")
+    // Embeddings: same bounded-pair structure. Verbatim replica vectors
+    // were EXACT dups (cosine 1), the factor²-pair shape again; each
+    // group now applies a deterministic coordinate permutation + sign
+    // flip (an isometry: norms and within-group geometry preserved,
+    // cross-group cosine ≈ a random ±1/√dim, below every near-dup
+    // threshold), and the even member jitters one coordinate by 2% so
+    // each group is a genuine near-dup pair rather than an exact clone.
+    val dim = Tables.embeddings(spark, src).select(size(col("embedding")))
+      .head().getInt(0)
+    def remap(v: Column, r: Long): Column = {
+      val g = (r + 1) / 2
+      val sgn = (0 until dim).map(i =>
+        if (scala.util.hashing.MurmurHash3.stringHash(s"sg-$g-$i") % 2 == 0) 1.0f else -1.0f)
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val src = (i + lit(g.toInt)) % dim + 1
+        val flip = element_at(array(sgn.map(lit): _*), i + 1)
+        val jit = if (r % 2 == 0) when(i === 0, lit(1.02f)).otherwise(lit(1.0f))
+                  else lit(1.0f)
+        (element_at(v, src) * flip * jit).cast("float")
+      })
+    }
     write(replicate(checked(Tables.embeddings(spark, src), "vec_id")) { (d, o) =>
-      d.withColumn("vec_id", col("vec_id") + o) }, "embeddings")
+      val r = o / OFF
+      val remapped =
+        if (r == 0L) d
+        else d.withColumn("embedding", remap(col("embedding"), r))
+      remapped.withColumn("vec_id", col("vec_id") + o) }, "embeddings")
   }
 }

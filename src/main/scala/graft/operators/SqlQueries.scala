@@ -514,6 +514,12 @@ object SqlQueries {
   def recursiveRollup(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)
     ChunkCatalog.catalog(s, d).createOrReplaceTempView("chunk_catalog")
+    // the walk emits ~log4(block_start) rows PER CHUNK, so total
+    // recursion output scales with the catalog and trips Spark's 1M-row
+    // safety default at sf10 — a corpus-proportional recursion is the
+    // intended workload here, so raise the valve deliberately (the
+    // level limit stays at its default: depth is log-bounded by design)
+    s.conf.set("spark.sql.cteRecursionRowLimit", 2000000000)
     s.sql(
       """WITH RECURSIVE walk(dataset_id, chunk_id, cur, depth) AS (
         |  SELECT dataset_id, chunk_id, block_start div 100, 0 FROM chunk_catalog

@@ -60,4 +60,43 @@ class ScaleGenSpec extends SparkSpec {
       .agg(min("d")).head().getInt(0)
     assert(minDist >= 2, s"replica names at edit distance $minDist")
   }
+
+  test("near-dup clusters stay BOUNDED: pairs within a group, decorrelation across") {
+    // factor 5 → replicas 1..4 in groups (1,2) and (3,4): the dedup
+    // workload must see O(1)-sized clusters at ANY factor, or every
+    // dedup bench row measures O(factor²) generator-manufactured pairs
+    // instead of the operator (the sf10 lesson: llm_semdedup 24.7×)
+    val out5 = java.nio.file.Files.createTempDirectory("graft_scale5").toString
+    ScaleGen.generate(spark, sf, out5, 5)
+    val docs = spark.read.parquet(s"$out5/documents.parquet")
+      .filter(col("doc_id") % 100000000L === 1L && col("text").isNotNull)
+      .select((col("doc_id") / 100000000L).cast("long").as("r"), col("text"))
+      .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: String, b: String): Double = {
+      val (x, y) = (sh(a), sh(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    // same group: near-dups; different groups (and vs base): far apart
+    assert(jac(docs(1), docs(2)) > 0.6, s"pair jaccard ${jac(docs(1), docs(2))}")
+    assert(jac(docs(3), docs(4)) > 0.6, s"pair jaccard ${jac(docs(3), docs(4))}")
+    assert(jac(docs(1), docs(3)) < 0.35, s"cross-group jaccard ${jac(docs(1), docs(3))}")
+    assert(jac(docs(0), docs(1)) < 0.35, s"base-vs-replica jaccard ${jac(docs(0), docs(1))}")
+
+    val vecs = spark.read.parquet(s"$out5/embeddings.parquet")
+      .filter(col("vec_id") % 100000000L === 1L)
+      .select((col("vec_id") / 100000000L).cast("long").as("r"), col("embedding"))
+      .collect().map(row => row.getLong(0) ->
+        row.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(cos(vecs(1), vecs(2)) > 0.99, s"pair cosine ${cos(vecs(1), vecs(2))}")
+    assert(math.abs(cos(vecs(1), vecs(3))) < 0.9,
+      s"cross-group cosine ${cos(vecs(1), vecs(3))}")
+    assert(math.abs(cos(vecs(0), vecs(1))) < 0.9,
+      s"base-vs-replica cosine ${cos(vecs(0), vecs(1))}")
+  }
 }
