@@ -503,7 +503,14 @@ object VectorOps {
     kmeans(s, d, trackInertia = false)._1
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("dist").cast("decimal(28,9)")).cast("double").as("sum_dist"))
+        // inertia re-rounds each 9-decimal dist to scale 4 (an EXACT
+        // decimal op in both engines) before the sum: round(double, 9)
+        // itself can land one ulp apart across engines when a distance's
+        // binary expansion sits at a half-boundary — the sf1 sweep on
+        // the remapped corpus caught exactly one such row (1e-9 delta);
+        // at scale 4 a surviving divergence would need that 1e-9 gap to
+        // straddle a 5e-5 boundary (~1e-9 probability per corpus)
+        sum(round(col("dist").cast("decimal(28,9)"), 4)).cast("double").as("sum_dist"))
       .orderBy("cell")
 
   /** Int8 symmetric quantization — the storage/bandwidth optimization
@@ -1169,7 +1176,7 @@ object VectorOps {
       }
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       |  CAST(SUM(CAST(dist AS DECIMAL(28,9))) AS DOUBLE) AS sum_dist
+       |  CAST(SUM(ROUND(CAST(dist AS DECIMAL(28,9)), 4)) AS DOUBLE) AS sum_dist
        |FROM a${rounds - 1} GROUP BY cell ORDER BY cell""".stripMargin
   }
 

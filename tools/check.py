@@ -30,6 +30,11 @@ def norm(v):
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     import os
+    # GRAFT_CHECK_THREADS: cap DuckDB's parallelism so a check can share
+    # the machine with a running bench without drowning it
+    t = os.environ.get("GRAFT_CHECK_THREADS")
+    if t:
+        con.sql(f"SET threads={int(t)}")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver testdata is a single file; Spark-written (ScaleGen) tables
