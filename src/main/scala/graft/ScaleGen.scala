@@ -147,25 +147,36 @@ object ScaleGen {
     // cross-group cosine ≈ a random ±1/√dim, below every near-dup
     // threshold), and the even member jitters one coordinate by 2% so
     // each group is a genuine near-dup pair rather than an exact clone.
+    // head(1) instead of head(): an empty source table has no dim to
+    // probe, and the replicas of an empty table are empty regardless —
+    // write it verbatim and skip the remap machinery entirely
     val dim = Tables.embeddings(spark, src).select(size(col("embedding")))
-      .head().getInt(0)
-    def remap(v: Column, r: Long): Column = {
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    // (sign table column, remapped vector) — the ±1 sign table
+    // materializes as ONE dim-length array per row via a named column;
+    // referencing the array(...) literal from inside the transform
+    // lambda would re-evaluate the dim-element CreateArray once per
+    // OUTPUT ELEMENT (O(dim²) work per row — for 64 dims that is 4096
+    // literal evaluations per vector)
+    def remap(v: Column, sg: Column, r: Long): Column = {
       val g = (r + 1) / 2
-      val sgn = (0 until dim).map(i =>
-        if (scala.util.hashing.MurmurHash3.stringHash(s"sg-$g-$i") % 2 == 0) 1.0f else -1.0f)
       transform(sequence(lit(0), lit(dim - 1)), i => {
         val src = (i + lit(g.toInt)) % dim + 1
-        val flip = element_at(array(sgn.map(lit): _*), i + 1)
         val jit = if (r % 2 == 0) when(i === 0, lit(1.02f)).otherwise(lit(1.0f))
                   else lit(1.0f)
-        (element_at(v, src) * flip * jit).cast("float")
+        (element_at(v, src) * element_at(sg, i + 1) * jit).cast("float")
       })
     }
+    def signTable(g: Long): Column = array((0 until dim).map(i =>
+      lit(if (scala.util.hashing.MurmurHash3.stringHash(s"sg-$g-$i") % 2 == 0) 1.0f
+          else -1.0f)): _*)
     write(replicate(checked(Tables.embeddings(spark, src), "vec_id")) { (d, o) =>
       val r = o / OFF
       val remapped =
-        if (r == 0L) d
-        else d.withColumn("embedding", remap(col("embedding"), r))
+        if (r == 0L || dim == 0) d
+        else d.withColumn("sg", signTable((r + 1) / 2))
+          .withColumn("embedding", remap(col("embedding"), col("sg"), r))
+          .drop("sg")
       remapped.withColumn("vec_id", col("vec_id") + o) }, "embeddings")
   }
 }

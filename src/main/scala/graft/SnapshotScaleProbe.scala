@@ -28,8 +28,11 @@ object SnapshotScaleProbe {
     val root = java.nio.file.Paths.get(table)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // Files.walk holds a directory handle until closed — collect the
+      // paths under Using so the stream is released before the deletes
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq
+      }.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
     val li = Tables.lineitem(spark, sfDir)

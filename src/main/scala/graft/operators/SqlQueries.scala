@@ -512,15 +512,20 @@ object SqlQueries {
     * factor — never near the engine's depth limit. Output is the
     * per-dataset histogram of index depths. */
   def recursiveRollup(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    ChunkCatalog.catalog(s, d).createOrReplaceTempView("chunk_catalog")
     // the walk emits ~log4(block_start) rows PER CHUNK, so total
     // recursion output scales with the catalog and trips Spark's 1M-row
     // safety default at sf10 — a corpus-proportional recursion is the
     // intended workload here, so raise the valve deliberately (the
-    // level limit stays at its default: depth is log-bounded by design)
-    s.conf.set("spark.sql.cteRecursionRowLimit", 2000000000)
-    s.sql(
+    // level limit stays at its default: depth is log-bounded by design).
+    // The raise lives on a CHILD session (own SQLConf, shared context):
+    // the returned DataFrame is lazy, so a set-then-restore on the
+    // caller's conf would either be undone before execution or leak the
+    // 2e9 valve to every later recursive query on the shared session
+    val sc = s.newSession()
+    registerViews(sc, d)
+    ChunkCatalog.catalog(sc, d).createOrReplaceTempView("chunk_catalog")
+    sc.conf.set("spark.sql.cteRecursionRowLimit", 2000000000)
+    sc.sql(
       """WITH RECURSIVE walk(dataset_id, chunk_id, cur, depth) AS (
         |  SELECT dataset_id, chunk_id, block_start div 100, 0 FROM chunk_catalog
         |  UNION ALL

@@ -85,15 +85,10 @@ class GraphOpsSpec extends SparkSpec {
       // 9 propagation rounds for the 10-node path + 1 zero-change round;
       // if the observed metric never arrived the loop would hit maxIter=25
       assert(rounds == 10, s"expected 10 rounds, got $rounds")
-      // listener delivery is async — poll until the count stabilizes
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 3 && waited < 100) {
-        val cur = jobs.get()
-        if (cur == last) stable += 1 else { stable = 0; last = cur }
-        Thread.sleep(100); waited += 1
-      }
+      // listener delivery is async — drain the bus deterministically,
+      // then drain once more after a short gap to catch an event POSTED
+      // between the action unblocking and the scheduler's post
+      drainListenerBus(); Thread.sleep(200); drainListenerBus()
       // one materialization action per round + 2 setup checkpoints (sym,
       // initial labels); the pre-fix shape ran a second aggregate action
       // per round (~2× this bound)
@@ -122,21 +117,12 @@ class GraphOpsSpec extends SparkSpec {
     changed.unpersist(blocking = false)
   }
 
-  // deterministic listener drain: LiveListenerBus.waitUntilEmpty() is
-  // private[spark], so it is reached reflectively — a fixed sleep can
-  // flake when a straggling SQLExecutionStart from a PRIOR test lands
-  // inside the listening window under load
+  // deterministic listener drain via the test-scope package bridge
+  // (LiveListenerBus.waitUntilEmpty() is private[spark]) — a fixed sleep
+  // can flake when a straggling SQLExecutionStart from a PRIOR test
+  // lands inside the listening window under load
   private def drainListenerBus(): Unit =
-    try {
-      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
-        .invoke(spark.sparkContext)
-      val ms = bus.getClass.getMethods.filter(_.getName == "waitUntilEmpty")
-      ms.find(_.getParameterCount == 0) match {
-        case Some(m) => m.invoke(bus)
-        case None => ms.find(_.getParameterCount == 1)
-          .foreach(_.invoke(bus, java.lang.Long.valueOf(10000L)))
-      }
-    } catch { case scala.util.control.NonFatal(_) => Thread.sleep(500) }
+    org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
 
   test("cluster layout: second call runs zero queries; artifact matches fresh CC") {
     GraphOps.ensureClusterLayout(spark, sf) // build (or reuse) the layout
