@@ -1,12 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Shuffle-partition count scaled to the corpus, not pinned to the
+    * core count: a FIXED 32 put several sf10 joins into spill onset
+    * (join_theta 13.9×, sql_q5 11.3× growth on 10× data — heap effects,
+    * not plan defects). One partition per ~4 MB of compressed parquet
+    * (≈ 10× that in-memory for the join-heavy rows), floored at `cpus`
+    * so small SFs keep their historical parallelism, capped at 2048;
+    * AQE partition coalescing (on by default) shrinks the small
+    * shuffles back, so the higher count only costs where it pays. */
+  def scaledShufflePartitions(sfDir: String, cpus: Int): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+      else f.length()
+    val bytes = sizeOf(new java.io.File(sfDir))
+    math.min(2048L, math.max(cpus.toLong, bytes / (4L << 20))).toInt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions = scaledShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -120,7 +138,7 @@ object Bench {
     // one-line JSON passed ~5 KB and the driver's stdout tail-capture cut
     // off its head, leaving the round bench unparseable (BENCH_r04
     // "parsed": null). The file is the audit surface.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"load":$loadJson,"cc_obs_misses":$missJson,"queries":${toJson(times)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"load":$loadJson,"cc_obs_misses":$missJson,"queries":${toJson(times)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"bench_$sfName.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // round-tagged self-contained copy: three rounds of driver-side

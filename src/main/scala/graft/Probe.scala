@@ -8,7 +8,9 @@ object Probe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // same corpus-scaled count as Bench so probe timings reproduce it
+      .config("spark.sql.shuffle.partitions",
+        Bench.scaledShufflePartitions(sfDir, 32))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
