@@ -187,21 +187,61 @@ object VectorOps {
   def ensureTrainedLayout(s: SparkSession, d: String, k: Int = 8): String = {
     // k=8 keeps the historical dir name (the ANN oracles replay that k
     // verbatim); other cell counts — semDedup's corpus-scaled k — get
-    // their own keyed artifact beside it
+    // their own keyed artifact beside it. Past [[TwoLevelFloor]] the
+    // fit is HIERARCHICAL (v3-2l artifact): flat Lloyd at k ∝ n made
+    // the build O(n·k) per round — 18× time on 10× data at sf10
+    val kf = fineCellCount(k)
     val dir = new java.io.File(
       if (k == 8) trainedLayoutDir(d)
-      else corpusLayoutDir(d, s"graft-ivf-trained-v2-k$k"))
+      else if (kf == 1) corpusLayoutDir(d, s"graft-ivf-trained-v2-k$k")
+      else corpusLayoutDir(d, s"graft-ivf-trained-v3-2l-k$k"))
     if (!new java.io.File(dir, "_BUILT").exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         dir.getName + ".build-" + java.util.UUID.randomUUID())
-      val (assigned, _) = kmeans(s, d, k = k, iters = 3, trackInertia = false)
-      val cents = kmeansUpdate(assigned)
-      assigned.select(col("vec_id"), col("embedding"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(new java.io.File(tmp, "corpus").toString)
-      cents.write.mode("overwrite")
-        .parquet(new java.io.File(tmp, "centroids").toString)
-      assigned.unpersist(blocking = false) // drop the training checkpoint
+      if (kf == 1) {
+        val (assigned, _) = kmeans(s, d, k = k, iters = 3, trackInertia = false)
+        val cents = kmeansUpdate(assigned)
+        assigned.select(col("vec_id"), col("embedding"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(new java.io.File(tmp, "corpus").toString)
+        cents.write.mode("overwrite")
+          .parquet(new java.io.File(tmp, "centroids").toString)
+        assigned.unpersist(blocking = false) // drop the training checkpoint
+      } else {
+        // two-level IVF fit, O(n·√k) per pass: (1) 3-round coarse Lloyd
+        // at kc = ⌈√k⌉ with one further update — the same c3-probes-a2
+        // contract as the flat build; (2) assign the corpus to the c3
+        // coarse cells; (3) 3-round FINE Lloyd within each coarse cell
+        // at kf centroids (seeded by the kf lowest member ids), where
+        // each round's assign joins on ccell so a vector only meets its
+        // own cell's candidates. Composite cell = ccell·kf + fcell.
+        val kc = coarseCellCount(k)
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val (coarseAssigned, _) = kmeans(s, d, k = kc, iters = 3, trackInertia = false)
+        val coarseCents = kmeansUpdate(coarseAssigned).localCheckpoint()
+        coarseAssigned.unpersist(blocking = false)
+        val ac = kmeansAssign(emb, coarseCents)
+          .select(col("vec_id"), col("embedding"), col("cell").as("ccell"))
+          .localCheckpoint()
+        var fineCents = fineSeeds(ac, kf).localCheckpoint()
+        for (_ <- 0 until 3) {
+          val prev = fineCents
+          fineCents = fineUpdate(fineAssign(ac, fineCents)).localCheckpoint()
+          prev.unpersist(blocking = false)
+        }
+        fineAssign(ac, fineCents)
+          .select(col("vec_id"), col("embedding"),
+            (col("ccell") * kf + col("fcell")).cast("int").as("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(new java.io.File(tmp, "corpus").toString)
+        coarseCents.write.mode("overwrite")
+          .parquet(new java.io.File(tmp, "centroids").toString)
+        fineCents.write.mode("overwrite")
+          .parquet(new java.io.File(tmp, "fine_centroids").toString)
+        ac.unpersist(blocking = false)
+        coarseCents.unpersist(blocking = false)
+        fineCents.unpersist(blocking = false)
+      }
       publishLayout(dir, tmp)
     }
     dir.toString
@@ -421,10 +461,113 @@ object VectorOps {
   def semDedupK(s: SparkSession, d: String): Int =
     math.max(8L, Tables.embeddings(s, d).count() / SemDedupCellTarget).toInt
 
-  /** The [[semDedupK]] formula as DuckDB SQL — inlined into the seeded
-    * and trained oracles so both engines derive k from the data. */
-  private val SemDedupKSql =
-    "(SELECT GREATEST(8, COUNT(*) // 256) FROM embeddings)"
+  /** Two-level (coarse→fine) cell structure for the corpus-scaled k.
+    * With k ∝ n (the [[semDedupK]] contract that bounds the in-cell
+    * pair scan), a FLAT argmin over k centroids prices every assign
+    * pass at O(n·k) = O(n²/256) — the r10 sf10 checkpoint measured
+    * llm_semdedup at 18× time on 10× data, the suite's one standing
+    * scale-killer. The standard IVF training shape fixes the exponent:
+    * kc = ⌈√k⌉ coarse cells, kf = ⌈k/kc⌉ fine cells WITHIN each coarse
+    * cell — a vector meets kc coarse candidates, then only its own
+    * cell's kf fine candidates, so assign is O(n·(kc+kf)) = O(n·√k)
+    * and total cells kc·kf ≈ k keep the expected population at
+    * [[SemDedupCellTarget]]. At or below [[TwoLevelFloor]] the
+    * structure degenerates to kc = k, kf = 1 — EXACTLY the flat assign
+    * — so the oracle gate's small-SF results are byte-stable, and the
+    * DuckDB replay is ONE parameterized SQL shape at every SF (the
+    * fine stage with kf = 1 is an identity). */
+  private[operators] val TwoLevelFloor = 32
+
+  def coarseCellCount(k: Int): Int =
+    if (k <= TwoLevelFloor) k else math.ceil(math.sqrt(k.toDouble)).toInt
+
+  def fineCellCount(k: Int): Int = {
+    val kc = coarseCellCount(k)
+    (k + kc - 1) / kc
+  }
+
+  /** The [[semDedupK]] / [[coarseCellCount]] / [[fineCellCount]]
+    * formulas as one DuckDB CTE (k, kc, kf) — inlined into the seeded
+    * and trained oracles so both engines derive the two-level geometry
+    * from the data. Integer ceil-division mirrors the Scala exactly;
+    * CEIL(SQRT(k)) is exact for any k this corpus can reach (IEEE
+    * sqrt of an exactly-representable integer). */
+  private val TwoLevelParamsCte =
+    s"""kp AS (SELECT k, kc, (k + kc - 1) // kc AS kf FROM (
+       |  SELECT k, CASE WHEN k <= $TwoLevelFloor THEN k
+       |            ELSE CAST(CEIL(SQRT(k)) AS BIGINT) END AS kc
+       |  FROM (SELECT GREATEST(8, COUNT(*) // 256) AS k FROM embeddings) t1) t2)""".stripMargin
+
+  /** kf lowest-vec_id members of each coarse cell, as
+    * (ccell, fcell, cvec) — the deterministic fine seeds. The ranking
+    * shuffle carries only (ccell, vec_id) 16-byte rows; the k selected
+    * ids then join BACK to the assigned corpus to pick up their
+    * embeddings, so the corpus itself never shuffles for seed
+    * selection (k = n/256 rows broadcast — model-state scale). */
+  private def fineSeeds(coarse: DataFrame, kf: Int): DataFrame = {
+    val w = Window.partitionBy("ccell").orderBy("vec_id")
+    val ids = coarse.select("ccell", "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kf)
+      .select(col("vec_id"), (col("rn") - 1).cast("long").as("fcell"))
+    coarse.join(broadcast(ids), "vec_id")
+      .select(col("ccell"), col("fcell"), col("embedding").as("cvec"))
+  }
+
+  /** Grouped Lloyd assign: argmin over only the fine centroids of the
+    * vector's own coarse cell. The fine-centroid table folds to one
+    * kf-element array per coarse cell and joins on ccell (kc rows —
+    * auto-broadcast here; a keyed join against the cell-partitioned
+    * layout at cluster scale), so each vector evaluates kf distances
+    * instead of k. Tie-break (dist, fcell) mirrors [[kmeansAssign]]. */
+  private def fineAssign(coarse: DataFrame, fineCents: DataFrame): DataFrame = {
+    val byCell = fineCents.groupBy("ccell")
+      .agg(collect_list(struct(col("fcell"), col("cvec"))).as("cents"))
+    coarse.join(byCell, "ccell")
+      .select(col("vec_id"), col("embedding"), col("ccell"),
+        element_at(array_sort(transform(col("cents"), c => struct(
+          round(l2sq(col("embedding"), c.getField("cvec")), 9).as("dist"),
+          c.getField("fcell").as("fcell")))), 1).getField("fcell").as("fcell"))
+  }
+
+  /** Per-(ccell, fcell) mean vector — [[kmeansUpdate]] with the coarse
+    * cell as an extra group key; same decimal-exact discipline. */
+  private def fineUpdate(fa: DataFrame): DataFrame =
+    fa.select(col("ccell"), col("fcell"), posexplode(col("embedding")))
+      .toDF("ccell", "fcell", "i", "x")
+      .groupBy("ccell", "fcell", "i")
+      .agg(sum(col("x").cast("double").cast("decimal(28,9)")).as("sx"),
+        count(lit(1)).as("n"))
+      .groupBy("ccell", "fcell")
+      .agg(collect_list(struct(col("i"),
+        (col("sx").cast("double") / col("n")).as("m"))).as("dims"))
+      .select(col("ccell"), col("fcell"),
+        transform(array_sort(col("dims")), v => v.getField("m")).as("cvec"))
+
+  /** Seeded two-level assignment: coarse argmin over the kc lowest
+    * vec_id seeds, then fine argmin over the kf lowest-id members of
+    * the vector's coarse cell. Composite cell id = ccell·kf + fcell
+    * (injective: fcell < kf). kf = 1 (k ≤ [[TwoLevelFloor]]) IS the
+    * flat seeded assign — same rows, same cell ids. */
+  private[graft] def seededTwoLevelCells(emb: DataFrame, k: Int): DataFrame = {
+    val kc = coarseCellCount(k)
+    val kf = fineCellCount(k)
+    val cents = emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val coarse = kmeansAssign(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cell").as("ccell"))
+    if (kf == 1) coarse.select(col("vec_id"), col("embedding"),
+      col("ccell").as("cell"))
+    else {
+      // the coarse assignment feeds BOTH seed selection and the fine
+      // assign — materialize once or the plan grows two identical
+      // O(n·kc) subtrees
+      val ck = coarse.localCheckpoint()
+      fineAssign(ck, fineSeeds(ck, kf))
+        .select(col("vec_id"), col("embedding"),
+          (col("ccell") * kf + col("fcell")).cast("long").as("cell"))
+    }
+  }
 
   /** One Lloyd assignment pass: nearest centroid per vector. Same
     * map-side argmin shape as [[assignCells]] — the centroid table
@@ -557,27 +700,41 @@ object VectorOps {
     * the in-cell quadratic term is bounded per cell, the paper's own
     * prescription (a fixed k made the pair scan O(n²/k): the r9 sf1
     * checkpoint measured 10.5× time at 10× data; with k ∝ n the same
-    * sweep is the growth a linear pass shows). The oracle computes the
-    * SAME k as a scalar subquery, so the replay follows at every SF. */
-  def semDedup(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val k = semDedupK(s, d)
-    val cents = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
-    val q = kmeansAssign(emb, cents)
+    * sweep is the growth a linear pass shows) — and the ASSIGNMENT
+    * follows [[seededTwoLevelCells]]'s coarse→fine structure, so the
+    * k ∝ n cells never reintroduce an O(n·k) argmin (that was the r10
+    * sf10 scale-killer: 18× time on 10× data). The oracle computes the
+    * SAME k/kc/kf as scalar subqueries, so the replay follows at
+    * every SF. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupPairs(seededTwoLevelCells(
+      Tables.embeddings(s, d), semDedupK(s, d)))
+
+  /** The shared SemDeDup decision tail (quantize → in-cell pair scan →
+    * drop set) over any (vec_id, cell, embedding) assignment — the
+    * seeded and trained forms differ ONLY in how cells are produced. */
+  private def semDedupPairs(assigned: DataFrame): DataFrame = {
+    // materialize maxabs as a PLAIN ATTRIBUTE before the quantize
+    // lambdas reference it: projection collapse would otherwise inline
+    // the array_max(transform(…)) into the per-element lambda — O(dim²)
+    // work per row — and the collapsed mega-projection falls out of
+    // whole-stage codegen into interpreted evaluation (measured: 6.7 s
+    // of an 11.3 s sf1 run in exactly this projection; the r10 flat
+    // form paid the same tax). The checkpoint also pins the assignment
+    // so the self-join below reads one materialized corpus instead of
+    // growing two identical assign subtrees — int8-ready rows are the
+    // artifact production SemDeDup persists.
+    val pre = assigned
       .select(col("vec_id"), col("cell"), col("embedding"),
         array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           .as("maxabs"))
+      .localCheckpoint()
+    val q = pre
       .select(col("vec_id"), col("cell"),
         transform(col("embedding"),
           x => round(x.cast("double") / col("maxabs") * 127).cast("long"))
           .as("qv"))
       .withColumn("nq", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
-      // materialize the quantized corpus ONCE: the self-join would
-      // otherwise re-run assignment+quantization per side (the plan
-      // grows two identical subtrees). int8 vectors are 64 B/row —
-      // exactly the artifact production SemDeDup persists
-      .localCheckpoint()
     // the pair scan is the hot loop (|cell|² dots): the codegen'd
     // DotProduct expression replaces the interpreted zip_with+aggregate
     // lambda (6.0 s → sub-second at sf0.1, same integer values — int8
@@ -778,29 +935,30 @@ object VectorOps {
     * logic); VectorOpsSpec holds it to the same min-id-survives /
     * in-cell-witness invariants as the seeded form. */
   def semDedupTrained(s: SparkSession, d: String): DataFrame = {
+    val k = semDedupK(s, d)
+    val kf = fineCellCount(k)
     val layout = ensureSemDedupLayout(s, d)
     val cents = s.read.parquet(s"$layout/centroids")
     val emb = Tables.embeddings(s, d)
-    val q = kmeansAssign(emb, cents)
-      .select(col("vec_id"), col("cell"), col("embedding"),
-        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-          .as("maxabs"))
-      .select(col("vec_id"), col("cell"),
-        transform(col("embedding"),
-          x => round(x.cast("double") / col("maxabs") * 127).cast("long"))
-          .as("qv"))
-      .withColumn("nq", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
-      .localCheckpoint()
-    q.as("a").join(q.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.cell").as("cell"), col("b.vec_id").as("vec_id"),
-        graft.functions.NativeExpressions.dot_product(col("a.qv"), col("b.qv"))
-          .cast("long").as("dot"),
-        col("a.nq").as("na"), col("b.nq").as("nb"))
-      .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * 25 >= col("na") * col("nb") * 4)
-      .select("cell", "vec_id").distinct()
-      .orderBy("cell", "vec_id")
+    val assigned =
+      if (kf == 1)
+        kmeansAssign(emb, cents)
+          .select(col("vec_id"), col("cell"), col("embedding"))
+      else {
+        // two-level probe of the hierarchical layout: coarse argmin
+        // against the c3 centroids, then fine argmin against the
+        // vector's own cell's kf trained fine centroids — O(n·√k)
+        // query-time assignment, same composite cell ids as the build
+        val fineCents = s.read.parquet(s"$layout/fine_centroids")
+        fineAssign(
+          kmeansAssign(emb, cents)
+            .select(col("vec_id"), col("embedding"), col("cell").as("ccell")),
+          fineCents)
+          .select(col("vec_id"),
+            (col("ccell") * kf + col("fcell")).cast("int").as("cell"),
+            col("embedding"))
+      }
+    semDedupPairs(assigned)
   }
 
   /** MMR — Maximal Marginal Relevance (Carbonell & Goldstein '98):
@@ -1341,9 +1499,9 @@ object VectorOps {
 
   /** CTE prefix `e, c0, a0, c1, …, c<iters>` replaying [[kmeans]]'s
     * Lloyd chain (assignment a(r) against c(r), update c(r+1)).
-    * `kSql` is any scalar SQL expression for the seed count — a literal
-    * for the fixed-k ANN oracles, [[SemDedupKSql]]'s corpus-derived
-    * subquery for the scale-following semdedup replay. */
+    * `kSql` is any scalar SQL expression for the seed count (a literal
+    * for the fixed-k ANN oracles; the semdedup replays moved to the
+    * two-level chain in [[semDedupTrainedOracle]]). */
   private def lloydChainSql(kSql: String, iters: Int): String = {
     val lloyd = (0 until iters).flatMap { r =>
       Seq(lloydAssignCte(s"a$r", s"c$r"), lloydUpdateCte(s"c${r + 1}", s"a$r"))
@@ -1381,18 +1539,54 @@ object VectorOps {
        |FROM ranked WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB replay of [[semDedupTrained]]: the seeded `llm_semdedup`
-    * pair logic with the assignment swapped to the Lloyd-fit centroids
-    * c<iters> — exactly the swap the Spark side makes. `kSql` follows
-    * [[semDedupK]]'s corpus-derived cell count. */
-  private def semDedupTrainedOracle(kSql: String, iters: Int): String =
-    s"""WITH ${lloydChainSql(kSql, iters)},
-       |${lloydAssignCte("assigned", s"c$iters")},
-       |q AS (
+  // --- two-level SemDeDup replay CTEs (mirror fineSeeds / fineAssign /
+  // fineUpdate exactly; `kp` from TwoLevelParamsCte must precede them) ---
+
+  /** Coarse argmin of every `e` vector against `ct` (ccell, cvec). */
+  private def coarseAssignCte(an: String, ct: String): String =
+    s"""$an AS (
+       |  SELECT vec_id, emb, ccell FROM (
+       |    SELECT v.vec_id, v.emb, c.ccell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY ${l2RoundSql("v.emb", "c.cvec")}, c.ccell) AS rn
+       |    FROM e v, $ct c) WHERE rn = 1)""".stripMargin
+
+  /** kf lowest-vec_id members of each coarse cell as fine seeds. */
+  private def fineSeedsCte(cn: String, src: String): String =
+    s"""$cn AS (
+       |  SELECT ccell, CAST(rn - 1 AS BIGINT) AS fcell, emb AS cvec FROM (
+       |    SELECT ccell, emb,
+       |      row_number() OVER (PARTITION BY ccell ORDER BY vec_id) AS rn
+       |    FROM $src) WHERE rn <= (SELECT kf FROM kp))""".stripMargin
+
+  /** Fine argmin: each vector only meets its own coarse cell's
+    * candidates (the join is ON ccell). */
+  private def fineAssignCte(an: String, src: String, ct: String): String =
+    s"""$an AS (
+       |  SELECT vec_id, emb, ccell, fcell FROM (
+       |    SELECT v.vec_id, v.emb, v.ccell, c.fcell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |                         ORDER BY ${l2RoundSql("v.emb", "c.cvec")}, c.fcell) AS rn
+       |    FROM $src v JOIN $ct c ON v.ccell = c.ccell) WHERE rn = 1)""".stripMargin
+
+  /** Per-(ccell, fcell) decimal-exact mean — the fine Lloyd update. */
+  private def fineUpdateCte(cn: String, an: String): String =
+    s"""$cn AS (
+       |  SELECT ccell, fcell, list(mv ORDER BY i) AS cvec FROM (
+       |    SELECT ccell, fcell, i,
+       |      CAST(SUM(CAST(emb[i] AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mv
+       |    FROM $an, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i)
+       |    GROUP BY ccell, fcell, i) GROUP BY ccell, fcell)""".stripMargin
+
+  /** The shared SemDeDup decision tail over a (vec_id, emb, cell) CTE —
+    * quantize → in-cell integer pair scan → drop set ([[semDedupPairs]]
+    * replayed verbatim). */
+  private def semDedupTailSql(src: String): String =
+    s"""q AS (
        |  SELECT vec_id, cell,
        |    list_transform(emb, x -> CAST(round(x /
        |      list_max(list_transform(emb, y -> abs(y))) * 127) AS BIGINT)) AS qv
-       |  FROM assigned),
+       |  FROM $src),
        |n AS (SELECT vec_id, cell, qv,
        |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nq FROM q),
        |p AS (
@@ -1404,6 +1598,55 @@ object VectorOps {
        |SELECT DISTINCT cell, vec_id FROM p
        |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb
        |ORDER BY cell, vec_id""".stripMargin
+
+  /** DuckDB replay of the SEEDED [[semDedup]]: the two-level geometry
+    * from [[TwoLevelParamsCte]] (coarse argmin over the kc lowest-id
+    * seeds, fine argmin over each cell's kf lowest-id members), then
+    * the shared decision tail. With k ≤ [[TwoLevelFloor]] the fine
+    * stage is an identity (kf = 1, fcell = 0, cell = ccell), so this
+    * ONE SQL shape replays the flat gate results byte-for-byte AND the
+    * two-level sf1+ results. */
+  private def semDedupSeededOracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |$TwoLevelParamsCte,
+       |cc AS (SELECT vec_id AS ccell, emb AS cvec FROM e WHERE vec_id < (SELECT kc FROM kp)),
+       |${coarseAssignCte("ac", "cc")},
+       |${fineSeedsCte("f0", "ac")},
+       |${fineAssignCte("af", "ac", "f0")},
+       |tl AS (SELECT vec_id, emb,
+       |  CAST(ccell * (SELECT kf FROM kp) + fcell AS BIGINT) AS cell FROM af),
+       |${semDedupTailSql("tl")}""".stripMargin
+
+  /** DuckDB replay of [[semDedupTrained]] and its hierarchical
+    * [[ensureTrainedLayout]] build: `iters`-round coarse Lloyd at kc
+    * (c0..c<iters>, same chain the flat oracle used), coarse assign
+    * against c<iters>, fine seeds, `iters` fine assign/update rounds
+    * WITHIN each coarse cell, final fine assign, then the shared
+    * decision tail. Degenerates to the flat trained replay at the
+    * gate (kf = 1 makes every fine stage an identity). */
+  private def semDedupTrainedOracle(iters: Int): String = {
+    val coarseLloyd = (0 until iters).flatMap { r =>
+      Seq(lloydAssignCte(s"a$r", s"c$r"), lloydUpdateCte(s"c${r + 1}", s"a$r"))
+    }
+    val fineLloyd = (0 until iters).flatMap { r =>
+      Seq(fineAssignCte(s"fa$r", "ac", s"f$r"), fineUpdateCte(s"f${r + 1}", s"fa$r"))
+    }
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |FROM embeddings),
+       |$TwoLevelParamsCte,
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cvec
+       |       FROM e WHERE vec_id < (SELECT kc FROM kp)),
+       |${coarseLloyd.mkString(",\n")},
+       |ccp AS (SELECT cell AS ccell, cvec FROM c$iters),
+       |${coarseAssignCte("ac", "ccp")},
+       |${fineSeedsCte("f0", "ac")},
+       |${fineLloyd.mkString(",\n")},
+       |${fineAssignCte("af", "ac", s"f$iters")},
+       |tl AS (SELECT vec_id, emb,
+       |  CAST(ccell * (SELECT kf FROM kp) + fcell AS INT) AS cell FROM af),
+       |${semDedupTailSql("tl")}""".stripMargin
+  }
 
   /** DuckDB replay of [[embedLshPairs]]: sketches rebuilt from the SAME
     * Scala-generated [[hpSign]] literal matrix (16 j-rows of 64 signs),
@@ -1463,7 +1706,7 @@ object VectorOps {
     "llm_ann_ivf" -> ivfSeededOracle(cells = 8, nprobe = 2, topK = 5),
     "llm_ann_trained" -> ivfTrainedOracle(k = 8, iters = 3, nprobe = 2,
       topK = 5),
-    "llm_semdedup_trained" -> semDedupTrainedOracle(kSql = SemDedupKSql, iters = 3),
+    "llm_semdedup_trained" -> semDedupTrainedOracle(iters = 3),
     // normalize-then-dot replayed verbatim (same unit-vector fragment
     // the RP oracle proves): not bit-identical to fused cosine, but
     // exactly reproducible on its own terms
@@ -1584,35 +1827,7 @@ object VectorOps {
         |  WHERE a.vec_id < 100 AND b.vec_id < 100)
         |SELECT id_a, id_b, label, sim FROM cos WHERE sim > 0.7
         |ORDER BY id_a, id_b""".stripMargin,
-    "llm_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-        |cents AS (SELECT vec_id AS cell, emb AS cvec FROM e WHERE vec_id < $SemDedupKSql),
-        |assigned AS (
-        |  SELECT vec_id, emb, cell FROM (
-        |    SELECT e.vec_id, e.emb, c.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |          list_transform(generate_series(1, len(e.emb)),
-        |            i -> (e.emb[i] - c.cvec[i]) * (e.emb[i] - c.cvec[i]))),
-        |          (a, x) -> a + x), 9), c.cell) AS rn
-        |    FROM e, cents c)
-        |  WHERE rn = 1),
-        |q AS (
-        |  SELECT vec_id, cell,
-        |    list_transform(emb, x -> CAST(round(x /
-        |      list_max(list_transform(emb, y -> abs(y))) * 127) AS BIGINT)) AS qv
-        |  FROM assigned),
-        |n AS (SELECT vec_id, cell, qv,
-        |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nq FROM q),
-        |p AS (
-        |  SELECT a.cell AS cell, b.vec_id AS vec_id,
-        |    CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
-        |      i -> a.qv[i]*b.qv[i])) AS BIGINT) AS dot,
-        |    a.nq AS na, b.nq AS nb
-        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-        |SELECT DISTINCT cell, vec_id FROM p
-        |WHERE dot > 0 AND 25*dot*dot >= 4*na*nb
-        |ORDER BY cell, vec_id""".stripMargin,
+    "llm_semdedup" -> semDedupSeededOracle,
     "llm_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

@@ -172,6 +172,32 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("two-level seeded cells: composite ids decompose to the coarse assign; floor k IS the flat assign") {
+    val emb = Tables.embeddings(spark, sf)
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("vec_id"), col("cell").cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // force the two-level branch on the tiny corpus: k=64 > floor(32)
+    // gives kc=8 coarse cells, kf=8 fine cells per coarse cell
+    val tl = cellsOf(VectorOps.seededTwoLevelCells(emb, 64))
+    assert(tl.length == emb.count())
+    assert(tl.forall { case (_, c) => c >= 0 && c < 64 })
+    // deterministic across runs (the oracle replays this exact trace)
+    assert(tl == cellsOf(VectorOps.seededTwoLevelCells(emb, 64)))
+    // cell div kf recovers the vector's coarse (kc-seed) flat assignment
+    val coarse = cellsOf(VectorOps.kmeansAssign(emb,
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec")))).toMap
+    tl.foreach { case (id, c) => assert(c / 8 == coarse(id),
+      s"vec $id: composite $c not in coarse cell ${coarse(id)}") }
+    // at/below the floor the structure degenerates to the flat assign —
+    // the property that keeps the unified oracle SQL gate-stable
+    val flat = cellsOf(VectorOps.kmeansAssign(emb,
+      emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec"))))
+    assert(cellsOf(VectorOps.seededTwoLevelCells(emb, 32)) == flat)
+  }
+
   test("semDedupTrained: same invariants as seeded form under trained cells") {
     val layout = VectorOps.ensureTrainedLayout(spark, sf)
     val cents = spark.read.parquet(s"$layout/centroids")
