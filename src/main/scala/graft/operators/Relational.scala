@@ -550,21 +550,80 @@ object Relational {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** SQL-standard NTILE bucket of 1-based position `pos` among `n`
+    * ordered rows: the first (n mod k) buckets take ⌈n/k⌉ rows, the
+    * rest ⌊n/k⌋ — the closed form of what the ntile() window function
+    * computes from a running position, usable wherever the position is
+    * known WITHOUT sorting the whole partition. Double division is
+    * exact here (operands ≪ 2⁵³; a misrounded ceil would need a
+    * near-integer ratio within one ulp — the closest non-integer ratio
+    * is 1/(q+1) away, 8 orders of magnitude wider). */
+  private def ntileBucket(k: Int, pos: Column, n: Column): Column = {
+    val q = floor(n / k).cast("long")
+    val r = (n % k).cast("long")
+    when(pos <= r * (q + 1), ceil(pos / (q + 1)))
+      .otherwise(r + ceil((pos - r * (q + 1)) / q))
+      .cast("int")
+  }
+
+  /** Test-only exposure of [[ntileBucket]] (WindowTwoPhaseSpec proves
+    * the closed form against the ntile window across edge cases). */
+  private[graft] def ntileBucketForTest(k: Int, pos: Column, n: Column): Column =
+    ntileBucket(k, pos, n)
+
   /** NTILE quartiles (the ranking-window family member win_rank/win_dist
     * don't cover): quartile assignment over a UNIQUE sort
     * (price, orderkey) — ntile on a non-unique order is
     * engine-dependent at bucket boundaries, on a unique one it is
-    * deterministic everywhere — then per-quartile size and price range. */
+    * deterministic everywhere — then per-quartile size and price range.
+    *
+    * TWO-PHASE, not one ntile window: partitioning by the 3-value
+    * status column caps the sort at 3 tasks at ANY corpus size (13.3×
+    * growth on 10× data at sf10 — a parallelism ceiling, not a plan
+    * defect). Value-bucket the order key (floor(price/1000) — ties
+    * can't straddle buckets), aggregate per-bucket count/min/max
+    * map-side, and resolve each BUCKET to a quartile from its position
+    * interval [offset+1, offset+cnt] via [[ntileBucket]]: buckets
+    * wholly inside one quartile contribute their aggregates directly
+    * (no row ever sorts); only the ≤3 boundary-straddling buckets per
+    * status sort their own rows for exact in-bucket positions. The
+    * windows here run over the per-bucket TABLE (~hundreds of rows)
+    * and the boundary subset — identical output, same oracle, and the
+    * corpus-scale work is one map-side aggregate. */
   def winNtile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("bo", floor(col("o_totalprice") / 1000).cast("long"))
+    val buckets = o.groupBy("o_orderstatus", "bo")
+      .agg(count(lit(1)).as("cnt"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    val wAsc = Window.partitionBy("o_orderstatus").orderBy("bo")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("o_orderstatus")
+    val marked = buckets
+      .withColumn("offset", coalesce(sum("cnt").over(wAsc), lit(0L)))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("q_first", ntileBucket(4, col("offset") + 1, col("n")))
+      .withColumn("q_last", ntileBucket(4, col("offset") + col("cnt"), col("n")))
+    // quartile is monotone in position, so q_first == q_last means every
+    // row of the bucket lands in that quartile — fold the aggregates
+    val whole = marked.filter(col("q_first") === col("q_last"))
+      .select(col("o_orderstatus"), col("q_first").as("quartile"),
+        col("cnt"), col("lo"), col("hi"))
+    val bb = marked.filter(col("q_first") =!= col("q_last"))
+      .select(col("o_orderstatus"), col("bo"), col("offset"), col("n"))
+    val wIn = Window.partitionBy("o_orderstatus", "bo")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(col("o_orderstatus"), col("o_totalprice"),
-        ntile(4).over(w).as("quartile"))
+    val boundary = o.join(broadcast(bb), Seq("o_orderstatus", "bo"))
+      .withColumn("pos", col("offset") + row_number().over(wIn))
+      .select(col("o_orderstatus"),
+        ntileBucket(4, col("pos"), col("n")).as("quartile"),
+        lit(1L).as("cnt"),
+        col("o_totalprice").as("lo"), col("o_totalprice").as("hi"))
+    whole.unionByName(boundary)
       .groupBy("o_orderstatus", "quartile")
-      .agg(count(lit(1)).as("n"),
-        min("o_totalprice").as("lo_price"),
-        max("o_totalprice").as("hi_price"))
+      .agg(sum("cnt").as("n"),
+        min("lo").as("lo_price"), max("hi").as("hi_price"))
       .orderBy("o_orderstatus", "quartile")
   }
 
@@ -1168,27 +1227,62 @@ object Relational {
       .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- B25
-  /** Ranking window functions over a total per-partition order. */
+  /** Ranking window functions over a total per-partition order —
+    * row_number / ntile / rank / dense_rank semantics, TWO-PHASE.
+    *
+    * The naive form (one window partitioned by the 3-value returnflag)
+    * sorts the whole corpus in 3 tasks at any scale — it was 19% of
+    * the sf10 suite (232.8 s) purely by parallelism ceiling. The
+    * rewrite exploits that only rows with rn ≤ 20 are emitted:
+    * value-bucket the leading sort key (floor(price/1000) — equal
+    * prices can't straddle buckets), count rows per bucket map-side,
+    * and keep only the price-PREFIX of buckets whose above-count is
+    * < 20 — every candidate row and every row that can affect a
+    * candidate's rank/row_number lives there (rows outside have
+    * strictly smaller prices). Ranks computed inside the prefix ARE
+    * the global ranks, so the expensive 6-column sort touches ~one
+    * bucket per flag instead of the corpus. The full-partition
+    * ntile(4) is recovered from (rn, partition total) via
+    * [[ntileBucket]]'s closed form, and dense_rank over quantity is a
+    * join against the per-flag DISTINCT quantity ranking (bounded
+    * domain — the window sorts ≤ |distinct qty| rows per flag).
+    * Identical rows to the one-window form (WindowTwoPhaseSpec proves
+    * it), same oracle.
+    *
+    * tiebreak down to (partkey, suppkey): (orderkey, linenumber) alone
+    * is not unique in the testdata, and an ambiguous row_number order
+    * would pair rows with rk values computed from a different window. */
   def winRank(s: SparkSession, d: String): DataFrame = {
-    // tiebreak down to (partkey, suppkey): (orderkey, linenumber) alone is
-    // not unique in the testdata, and an ambiguous row_number order would
-    // pair rows with rk values computed from a different window
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("bp", floor(col("l_extendedprice") / 1000).cast("long"))
+    val buckets = li.groupBy("l_returnflag", "bp").agg(count(lit(1)).as("cnt"))
+    val wDesc = Window.partitionBy("l_returnflag").orderBy(col("bp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("l_returnflag")
+    val keep = buckets
+      .withColumn("offset", coalesce(sum("cnt").over(wDesc), lit(0L)))
+      .withColumn("n", sum("cnt").over(wAll))
+      .filter(col("offset") < 20)
+      .groupBy("l_returnflag").agg(min("bp").as("min_bp"), max("n").as("n"))
+    val qtyRank = li.select("l_returnflag", "l_quantity").distinct()
+      .withColumn("drk", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)))
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_partkey"), col("l_suppkey"))
     // rank orders on the PREFIX of w's order, so its Window operator's
-    // required child ordering is already satisfied by w's sort; dense_rank
-    // keeps its own l_quantity ordering (a genuinely different sort key —
-    // collapsing it onto w's prefix would make drk a copy of rk and
-    // silently weaken the workload), so the query costs exactly two sorts
+    // required child ordering is already satisfied by w's sort — the
+    // prefix itself pays exactly one sort
     val wPrefix = Window.partitionBy("l_returnflag").orderBy(col("l_extendedprice").desc)
-    val wQty = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
-    Tables.lineitem(s, d)
+    li.join(broadcast(keep), Seq("l_returnflag"))
+      .filter(col("bp") >= col("min_bp"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("qt", ntile(4).over(w))
       .withColumn("rk", rank().over(wPrefix))
-      .withColumn("drk", dense_rank().over(wQty))
       .filter(col("rn") <= 20)
+      .withColumn("qt", ntileBucket(4, col("rn"), col("n")))
+      .join(broadcast(qtyRank), Seq("l_returnflag", "l_quantity"))
       .select("l_returnflag", "rn", "rk", "drk", "qt", "l_orderkey", "l_linenumber")
       .orderBy("l_returnflag", "rn")
   }

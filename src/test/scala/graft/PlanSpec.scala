@@ -80,12 +80,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("win_rank: exactly two window sorts (rank rides the row_number order)") {
-    // rank() orders on the prefix of the row_number window's sort, so it
-    // must NOT introduce a sort of its own; dense_rank's l_quantity order
-    // is a genuinely different key and legitimately pays the second sort.
-    // The third Sort is the final 60-row output orderBy — cheap, but
-    // counted so a planner regression to a third FULL window sort fails.
+  test("win_rank: two-phase — corpus windows sort only the bucket prefix") {
+    // the 6-column window and the rank prefix window must (a) share one
+    // sort and (b) receive the bucket-PREFIX join output, not the bare
+    // corpus: the prefix filter (bp >= min_bp after the broadcast keep
+    // join) has to sit BELOW the price sort, otherwise the rewrite has
+    // regressed to the 3-task full-partition sort it exists to kill
     val df = Relational.winRank(spark, sf)
     df.collect() // finalize AQE — AdaptiveSparkPlanExec is a leaf until run
     val finalPlan = (df.queryExecution.executedPlan match {
@@ -93,18 +93,18 @@ class PlanSpec extends SparkSpec {
         a.executedPlan
       case p => p
     }).toString
-    // materialized stages hide behind QueryStageExec leaves, so count on
-    // the plan STRING (which prints the whole tree): SortExec renders as
-    // "Sort [<order>..." — window sorts carry their order key first
-    val sorts = "Sort \\[".r.findAllIn(finalPlan).length
-    assert(sorts <= 3,
-      s"expected ≤2 window sorts + 1 output sort, got $sorts:\n" +
-        finalPlan.take(3000))
-    // window sorts lead with the partition key, then the order key
+    // exactly one sort carries the price order key (rank rides the
+    // row_number window's sort) — counted on the plan STRING because
+    // materialized stages hide behind QueryStageExec leaves
     val priceSorts = finalPlan.linesIterator
       .count(l => l.contains("Sort [") && l.contains("l_extendedprice"))
     assert(priceSorts == 1,
       s"the 6-column and prefix windows must share one sort, got $priceSorts:\n" +
+        finalPlan.take(3000))
+    // the prefix filter feeds that sort: min_bp (the broadcast keep
+    // table's column) must appear in the plan as a join/filter input
+    assert(finalPlan.contains("min_bp"),
+      s"bucket-prefix filter missing — window sorts the full corpus:\n" +
         finalPlan.take(3000))
   }
 
