@@ -26,11 +26,27 @@ object SparkEntry {
       Multimodal.queries ++ SqlQueries.queries ++ GraphOps.queries ++
       graft.sources.Formats.queries
 
+  /** Hint every CTE as MATERIALIZED for the DuckDB replay. DuckDB gives
+    * CTEs view semantics (inlined per reference), so an unrolled
+    * iterative chain whose stages re-reference earlier stages re-derives
+    * them multiplicatively — graph_kcore's 4-round peel re-references
+    * each stage ~3×, and at sf10 the inlined replay ran >30 minutes
+    * where the materialized form takes 1.1 s (values identical; the
+    * llm_bpe oracles already carried the hint by hand). Named WINDOW
+    * definitions (`WINDOW w AS (PARTITION …)`) share the `name AS (`
+    * shape but are not CTEs — the guard is that a CTE body must start
+    * with SELECT or VALUES, where a window spec starts with
+    * PARTITION/ORDER/ROWS/RANGE. */
+  private def materializeCtes(sql: String): String =
+    "\\b(\\w+)\\s+AS\\s+\\((?=\\s*(?:SELECT|VALUES)\\b)".r
+      .replaceAllIn(sql, m => m.group(1) + " AS MATERIALIZED (")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ChunkCatalog.oracles ++ Relational.oracles ++ ScalarFns.oracles ++
+    (ChunkCatalog.oracles ++ Relational.oracles ++ ScalarFns.oracles ++
       Windows.oracles ++ TextOps.oracles ++ VectorOps.oracles ++
       Multimodal.oracles ++ SqlQueries.oracles ++ GraphOps.oracles ++
-      graft.sources.Formats.oracles
+      graft.sources.Formats.oracles)
+      .map { case (k, v) => k -> materializeCtes(v) }
 }
