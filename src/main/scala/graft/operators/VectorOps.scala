@@ -308,10 +308,16 @@ object VectorOps {
     * agreement with brute force. */
   def simSearchPrenorm(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    // materialize the norm once per row — norm() inside the transform
-    // lambda would re-run the full reduction per ELEMENT (64× the work)
+    // materialize the norm once per row AS A STORED ATTRIBUTE — the
+    // two-select split alone is undone by projection collapse, which
+    // inlines the nrm alias back into the lambda (the full reduction
+    // re-runs per ELEMENT, 64× the work, and the collapsed projection
+    // drops out of codegen — the semDedupPairs lesson). The checkpoint
+    // is also the honest production shape: the unit-normalized corpus
+    // is a materialized transform, built once for all queries.
     val unit = emb
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
     val queries = unit.filter(col("vec_id") < 3)
@@ -667,6 +673,11 @@ object VectorOps {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("maxabs"))
+      // pin maxabs as a stored attribute: projection collapse would
+      // inline the array_max into the three lambdas below (re-evaluated
+      // per ELEMENT — O(dim²)/row, out of codegen; the semDedupPairs
+      // lesson applied to the same expression family)
+      .localCheckpoint()
       .select(col("vec_id"),
         round(col("maxabs"), 6).as("scale_maxabs"),
         aggregate(
