@@ -184,7 +184,10 @@ object TextOps {
     val dfreq = toks.select("doc_id", "w").distinct()
       .groupBy("w").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(dfreq), "w")
+    // no broadcast hint on dfreq: the doc-frequency table is
+    // vocabulary-sized (grows with the corpus) — the planner broadcasts
+    // while small and shuffle-joins beyond; the 1-row n stays hinted
+    tf.join(dfreq, "w")
       .crossJoin(broadcast(n))
       .filter(col("doc_id") < 20)
       .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
@@ -474,7 +477,11 @@ object TextOps {
         // bigram flipped the 6-decimal grid and broke one doc's hash)
         round(log(col("n_bg").cast("double") / col("n_prefix")), 4)
           .cast("decimal(18,4)").as("ll"))
-    bg.join(broadcast(lm), "bg")
+    // NO broadcast hint on the LM side: the bigram LM grows with the
+    // corpus (it is NOT bounded model state — sf10 already carries
+    // millions of rows), so forcing a broadcast regresses at scale;
+    // the planner broadcasts while small and shuffle-joins beyond
+    bg.join(lm, "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("ll").as("ll_sum"))
       // total, not mean: the decimal sum is engine-exact, while
@@ -1194,8 +1201,10 @@ object TextOps {
     val np = pairs.agg(sum("c_ab").as("np"))
     val nw = wc.agg(sum("c").as("nw"))
     pairs
-      .join(broadcast(wc.select(col("word").as("w1"), col("c").as("ca"))), "w1")
-      .join(broadcast(wc.select(col("word").as("w2"), col("c").as("cb"))), "w2")
+      // word-count sides are vocabulary-sized (corpus-growing) — no
+      // broadcast hint; the 1-row totals stay hinted
+      .join(wc.select(col("word").as("w1"), col("c").as("ca")), "w1")
+      .join(wc.select(col("word").as("w2"), col("c").as("cb")), "w2")
       .crossJoin(broadcast(np)).crossJoin(broadcast(nw))
       .filter(col("c_ab") >= 5)
       .select(col("w1"), col("w2"), col("c_ab"),
@@ -1367,7 +1376,8 @@ object TextOps {
       (col("tf") + k1 * (bc + b * col("dl") / avgdl))
     def termCol(t: String): Column =
       coalesce(max(when(col("w") === t, col("contrib"))), lit(0.0))
-    tf.join(broadcast(dfreq), "w")
+    // dfreq is vocabulary-sized (corpus-growing) — no broadcast hint
+    tf.join(dfreq, "w")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("w"), contrib.as("contrib"))
       .groupBy("doc_id")
@@ -1401,8 +1411,10 @@ object TextOps {
     docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-      .join(broadcast(lmB), Seq("bg"), "left")
-      .join(broadcast(cu), Seq("w2"), "left")
+      // the bigram LM and unigram vocab grow with the training half
+      // of the corpus — no broadcast hints; the 1-row total stays
+      .join(lmB, Seq("bg"), "left")
+      .join(cu, Seq("w2"), "left")
       .crossJoin(broadcast(nw))
       .select(col("doc_id"),
         round(log(
