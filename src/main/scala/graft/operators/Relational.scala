@@ -446,7 +446,9 @@ object Relational {
     val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .agg(count(lit(1)).as("orders_dup_keys"))
-    val orphanOrders = orders.join(broadcast(cust),
+    // no broadcast hint: customer grows with SF (the planner still
+    // broadcasts while it fits, like the sibling lineitem⟕orders check)
+    val orphanOrders = orders.join(cust,
         orders("o_custkey") === cust("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("orders_orphan_cust"))
     val orphanItems = li.join(orders,
