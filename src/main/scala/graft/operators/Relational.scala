@@ -861,12 +861,30 @@ object Relational {
     * form. One partition-local sort + one rollup; the group count is
     * the output size regardless of input volume. */
   def aggGini(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val ranked = Tables.orders(s, d)
+    // TWO-PHASE global position: the 3-value status partition key
+    // capped the rank sort at 3 tasks at any scale (38 s at sf10).
+    // Value-bucket the order key (equal prices can't straddle buckets),
+    // count per bucket map-side, convert counts to per-bucket position
+    // offsets with a window over the BUCKET table (value-domain-sized,
+    // not corpus-sized), then row_number WITHIN each (status, bucket) —
+    // hundreds of parallel sort partitions — plus the offset reproduces
+    // the original global row_number EXACTLY (same total order), so
+    // Σ i·x and the published gini are bit-identical. Same oracle;
+    // WindowTwoPhaseSpec pins equality with the direct window form.
+    val o = Tables.orders(s, d)
       .select(col("o_orderstatus"), dec2(col("o_totalprice")).as("x"),
-        row_number().over(w).cast("long").as("i"))
-    val m = ranked.groupBy("o_orderstatus")
+        col("o_orderkey"))
+      .withColumn("bo", floor(col("x") / 1000).cast("long"))
+    val wOff = Window.partitionBy("o_orderstatus").orderBy("bo")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = o.groupBy("o_orderstatus", "bo").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("o_orderstatus", "bo", "off")
+    val wIn = Window.partitionBy("o_orderstatus", "bo")
+      .orderBy(col("x"), col("o_orderkey"))
+    val m = o.join(broadcast(offs), Seq("o_orderstatus", "bo"))
+      .withColumn("i", col("off") + row_number().over(wIn).cast("long"))
+      .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("x")).as("sx"), sum(col("i") * col("x")).as("six"))
     val n = col("n_rows").cast("double")
@@ -924,21 +942,33 @@ object Relational {
     * without a second exchange. The shuffle carries the fact rows
     * once; everything after the rollup is per-group closed form. */
   def aggMannWhitney(s: SparkSession, d: String): DataFrame = {
-    val ord = Window.partitionBy("l_returnflag").orderBy("q")
-    val peers = ord.rangeBetween(Window.currentRow, Window.currentRow)
-    val ranked = Tables.lineitem(s, d)
+    // VALUE-HISTOGRAM form: with ties resolved by average rank, the U
+    // statistic depends only on per-(flag, value) group counts —
+    // rank(v) = 1 + cnt_less(v), tie(v) = cnt(v), so every per-row
+    // term folds to a per-value term (grp-0 rows at v contribute
+    // ca(v)·(2·rk(v)+cnt(v)−1); the tie correction Σ(tie²−1) becomes
+    // Σ cnt³−cnt). The corpus-scale work is ONE map-side hash
+    // aggregate; the rank window runs over the per-flag distinct-value
+    // frame (the profileKs tiny-aggregated-frame contract) instead of
+    // a 3-task full-partition sort — 70 s at sf10 purely by
+    // parallelism ceiling. Identical output, same oracle
+    // (WindowTwoPhaseSpec proves it against the direct ranked form).
+    val hist = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_quantity").as("q"),
         (col("l_linenumber") % 2).as("grp"))
-      .select(col("l_returnflag"), col("grp"),
-        rank().over(ord).cast("long").as("rk"),
-        count(lit(1)).over(peers).as("tie"))
+      .groupBy("l_returnflag", "q")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("ca"))
+    val wLess = Window.partitionBy("l_returnflag").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("rk", coalesce(sum("cnt").over(wLess), lit(0L)) + 1L)
     val m = ranked.groupBy("l_returnflag")
       .agg(
-        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
-        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"),
-        sum(when(col("grp") === 0, lit(2L) * col("rk") + col("tie") - 1L)
-          .otherwise(0L)).as("r2a"),
-        sum(col("tie") * col("tie") - lit(1L)).as("tsum"))
+        sum("ca").as("na"),
+        sum(col("cnt") - col("ca")).as("nb"),
+        sum(col("ca") * (lit(2L) * col("rk") + col("cnt") - 1L)).as("r2a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
     def d8(c: String): Column = col(c).cast("double")
     val n = d8("na") + d8("nb")
     val u2a = col("r2a") - col("na") * (col("na") + 1L)
