@@ -725,8 +725,17 @@ object TextOps {
       .select(col("doc_id"),
         trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
           " +", " ")).as("clean"),
-        (length(regexp_replace(col("text"), "spark|stream", "[TOOL]"))
+        // literal replace, not the spark|stream regex: the two words
+        // cannot overlap each other (no suffix of either is a prefix of
+        // the other), and only the 5→6-char "spark"→"[TOOL]" rewrite
+        // moves the length, so the delta equals the plain-substring
+        // count — same value, no alternation scan per char
+        (length(replace(col("text"), lit("spark"), lit("[TOOL]")))
           - length(col("text"))).as("redact_delta"))
+      // barrier: clean is referenced twice below, and projection
+      // collapse would inline the full two-regex chain into BOTH uses —
+      // the whole normalize pass ran twice per row
+      .localCheckpoint()
       .select(col("doc_id"),
         substring(col("clean"), 1, 40).as("clean_prefix"),
         length(col("clean")).as("clean_len"),
