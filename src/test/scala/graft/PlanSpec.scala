@@ -353,7 +353,12 @@ class PlanSpec extends SparkSpec {
       s"expected window sort + output sort only, got $sorts:\n" + plan.take(3000))
   }
 
-  test("agg_mannwhitney: ranks and tie counts ride one exchange") {
+  test("agg_mannwhitney: histogram form — no corpus-scale window, partial agg first") {
+    // the U statistic folds to the (flag, quantity) value histogram:
+    // the only corpus-scale operator must be the partial hash aggregate
+    // building it (map-side combined), and the rank window runs over
+    // the histogram frame — a regression to ranking raw rows would put
+    // a Window directly over the scan
     val df = Relational.aggMannWhitney(spark, sf)
     df.collect()
     val finalPlan = (df.queryExecution.executedPlan match {
@@ -363,13 +368,18 @@ class PlanSpec extends SparkSpec {
     }).toString
     val windows = "Window \\[".r.findAllIn(finalPlan).length
     assert(windows == 1,
-      s"rank + peer-count must share one Window, got $windows:\n" +
+      s"the prefix-count window must be the only Window, got $windows:\n" +
         finalPlan.take(3000))
-    // window shuffle on flag is the ONLY hash exchange: the rollup
-    // reuses the window's partitioning (no second wide pass)
+    // map-side combine before any exchange: a partial_count over the
+    // histogram keys sits below the first shuffle
+    assert(finalPlan.contains("partial_count") || finalPlan.contains("partial_sum"),
+      s"histogram aggregate lost its partial phase:\n" + finalPlan.take(3000))
+    // both hash exchanges carry histogram keys (flag[, q]) — never a
+    // sort of raw rows: no rangepartitioning before the final orderBy
     val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
-    assert(hashEx <= 1,
-      s"expected ≤1 hash exchange, got $hashEx:\n" + finalPlan.take(3000))
+    assert(hashEx <= 2,
+      s"expected ≤2 histogram-sized hash exchanges, got $hashEx:\n" +
+        finalPlan.take(3000))
   }
 
   test("llm_curriculum: no unpartitioned Window anywhere in the plan") {
