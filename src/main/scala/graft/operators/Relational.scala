@@ -120,14 +120,17 @@ object Relational {
   // ---------------------------------------------------------------- B17
   /** Range/interval-containment join: order keys (points) vs chunk-catalog
     * block ranges (intervals) — the reference's find path (A7/A12) as a
-    * join. The interval side is tiny → broadcast; at 100 TB bucket both
-    * sides by range start instead. */
+    * join. No forced broadcast: the catalog side is DERIVED FROM orders,
+    * so it grows with the corpus and a pinned `broadcast()` would
+    * eventually not fit (11.4× growth on 10× data at sf10 with the hint).
+    * AQE still broadcasts while the build side is small; at 100 TB the
+    * scale path is [[joinRangeBucketed]], which rides an equi-join. */
   def joinRange(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.orders(s, d).filter(col("o_orderkey") < 1000)
       .select(col("o_orderstatus").as("dataset_id"), col("o_orderkey").as("pt"))
     val ivs = ChunkCatalog.catalog(s, d)
       .select("dataset_id", "chunk_id", "block_start", "block_end")
-    pts.join(broadcast(ivs), Seq("dataset_id"))
+    pts.join(ivs, Seq("dataset_id"))
       .filter(col("block_start") <= col("pt") && col("pt") < col("block_end"))
       .groupBy("dataset_id", "chunk_id")
       .agg(count(lit(1)).as("n_pts"), min("pt").as("min_pt"), max("pt").as("max_pt"))

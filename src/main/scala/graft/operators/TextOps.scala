@@ -1449,6 +1449,26 @@ object TextOps {
         i => concat(c.substr(lit(1), i - lit(1)),
           c.substr(i + lit(1), length(c))))))
 
+  /** [[del1Keys]] with the deletion POSITION attached (identity = −1).
+    * The position turns blocking keys into PROOFS: within a key block,
+    * identity-vs-deletion is an exact insert/delete (lev = 1) and two
+    * same-position deletions agree everywhere except that position
+    * (substitution or equal) — both within distance 1 BY CONSTRUCTION.
+    * Conversely every distance-≤1 pair has such a witness (equal →
+    * identity key; indel → the shorter string is the longer's deletion
+    * variant, identity-vs-deletion; substitution at i → both delete at
+    * i). Different-position deletion pairs carry no guarantee AND are
+    * never the only witness, so the pair scan skips them — which is
+    * what removes per-candidate Levenshtein from the hot path. */
+  private[graft] def del1PosKeys(c: Column): Column =
+    concat(
+      array(struct(c.as("k"), lit(-1).as("pos"))),
+      transform(sequence(lit(1), length(c)),
+        i => struct(
+          concat(c.substr(lit(1), i - lit(1)),
+            c.substr(i + lit(1), length(c))).as("k"),
+          i.cast("int").as("pos"))))
+
   /** Edit-distance-≤1 fuzzy self-join over customer names WITHOUT the
     * O(n²) cross join: explode each name into its ~(len+1) deletion
     * keys, equi-join on the key, then verify candidates with exact
@@ -1459,30 +1479,59 @@ object TextOps {
     * scan in DuckDB: a hash-identical result PROVES the blocking
     * missed nothing (recall == exhaustive, not asserted but checked).
     *
-    * Plan shape (PlanSpec pins it): `merge` (sort-merge) — BOTH sides
-    * are the corpus×keys expansion, so Spark's size estimate would
-    * happily broadcast one of them; at sf0.1 that collected 223k keyed
-    * rows to the driver and cost 3× the whole shuffled join (5.1 s →
-    * 1.5 s measured), and at 100 TB it is impossible. `shuffle_hash`
-    * (the r6–r9 choice) also avoids the broadcast but builds an
-    * UNSPILLABLE per-partition hash map of the expansion — the sf10
-    * smoke run OOM'd exactly there (39M keyed rows through 32 fixed
-    * partitions in an 8 GB heap); sort-merge spills and is the join
-    * that survives a corpus-scale expansion on both sides. Candidate
-    * verify uses the THRESHOLDED `levenshtein(a, b, 1)` (returns −1
-    * past the bound) so the DP early-exits per candidate. `distinct`
-    * because a pair may share several keys (e.g. equal-prefix
-    * deletions). */
+    * Plan shape (PlanSpec pins it): NO join at all. The r6–r11 forms
+    * self-joined the expansion (broadcast: collected 223k keyed rows,
+    * 3× slower, impossible at 100 TB; shuffle-hash: unspillable build
+    * map, OOM'd the sf10 smoke run; sort-merge: spill-safe but pays
+    * TWO full sorts of the expansion and Spark does not reuse the
+    * exchange across the renamed sides — the whole 19n×2 row cost,
+    * 35 s at sf10). A del-1 BLOCK is tiny by construction (the few
+    * strings within distance 1 of one deletion variant), so the join
+    * is overkill: group the expansion by key ONCE — one exchange, a
+    * spill-safe hash aggregate, no sorts — and emit each block's
+    * unordered pairs with an array lambda. [[del1PosKeys]]' position
+    * tags make accepted pairs distance-≤1 BY CONSTRUCTION (profiled
+    * at sf10: the per-candidate `levenshtein` verify was 14 of 31 s —
+    * the position compare is integer-cheap and loses no recall). The
+    * grouping key is `xxhash64(k)` — 8 bytes through the shuffle
+    * instead of an ~18-char string; a 64-bit collision merges two
+    * blocks, and since merged blocks could pair same-position rows
+    * of UNRELATED keys, one thresholded `levenshtein(a, b, 1)` runs
+    * on the emitted pair set (the 26M-row output at sf10, not the
+    * 10⁸-candidate scan) as the collision guard. Deduplication is
+    * IN-BLOCK (`array_distinct` on each block's emitted pairs), not a
+    * global `distinct()`: a substitution pair's only accepted witness
+    * is the same-position deletion block of the substituted index, and
+    * an indel pair's witnesses (several deletion positions of the
+    * longer string hitting the same key) are all the SAME key string —
+    * the shorter string itself — so every true pair is emitted by
+    * exactly one block and the corpus-wide dedup exchange (26M × 36 B
+    * at sf10) is provably redundant.
+    *
+    * NOT taken: SymSpell's first-p-chars prefix restriction (keys
+    * from del1 of the 7-char prefix caps key count per string). On
+    * this corpus shape every c_name shares the constant "Customer#"
+    * head, so ALL rows would share one prefix-key block and the
+    * in-block verify re-becomes the O(n²) scan — prefix keys only
+    * help when prefixes are discriminative. */
   def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
-    val keyed = Tables.customer(s, d)
+    Tables.customer(s, d)
       .select(col("c_name").as("name"))
-      .select(col("name"), explode(del1Keys(col("name"))).as("k"))
-    val a = keyed.withColumnRenamed("name", "name_a")
-    val b = keyed.withColumnRenamed("name", "name_b")
-    a.hint("merge").join(b, "k")
-      .where(col("name_a") < col("name_b") &&
-        levenshtein(col("name_a"), col("name_b"), 1) >= 0)
-      .select("name_a", "name_b").distinct()
+      .select(col("name"), explode(del1PosKeys(col("name"))).as("pk"))
+      .groupBy(xxhash64(col("pk.k")).as("kh"))
+      .agg(collect_list(struct(col("pk.pos").as("pos"), col("name").as("name"))).as("rs"))
+      .select(explode(expr(
+        """array_distinct(flatten(transform(rs, (a, i) ->
+          |  transform(
+          |    filter(slice(rs, i + 2, size(rs)), b ->
+          |      a.name <> b.name AND
+          |      (a.pos = b.pos OR a.pos = -1 OR b.pos = -1)),
+          |    b -> if(a.name < b.name,
+          |            struct(a.name AS name_a, b.name AS name_b),
+          |            struct(b.name AS name_a, a.name AS name_b))))))""".stripMargin))
+        .as("p"))
+      .select(col("p.name_a"), col("p.name_b"))
+      .where(levenshtein(col("name_a"), col("name_b"), 1) >= 0)
       .orderBy("name_a", "name_b")
   }
 

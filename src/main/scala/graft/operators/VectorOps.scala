@@ -194,7 +194,9 @@ object VectorOps {
     val dir = new java.io.File(
       if (k == 8) trainedLayoutDir(d)
       else if (kf == 1) corpusLayoutDir(d, s"graft-ivf-trained-v2-k$k")
-      else corpusLayoutDir(d, s"graft-ivf-trained-v3-2l-k$k"))
+      // v4: fine seeding moved to the md5-ranked spread-aware pick —
+      // layouts built with the v3 lowest-id seeds are a different model
+      else corpusLayoutDir(d, s"graft-ivf-trained-v4-2l-k$k"))
     if (!new java.io.File(dir, "_BUILT").exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         dir.getName + ".build-" + java.util.UUID.randomUUID())
@@ -504,14 +506,21 @@ object VectorOps {
        |            ELSE CAST(CEIL(SQRT(k)) AS BIGINT) END AS kc
        |  FROM (SELECT GREATEST(8, COUNT(*) // 256) AS k FROM embeddings) t1) t2)""".stripMargin
 
-  /** kf lowest-vec_id members of each coarse cell, as
-    * (ccell, fcell, cvec) — the deterministic fine seeds. The ranking
-    * shuffle carries only (ccell, vec_id) 16-byte rows; the k selected
-    * ids then join BACK to the assigned corpus to pick up their
-    * embeddings, so the corpus itself never shuffles for seed
-    * selection (k = n/256 rows broadcast — model-state scale). */
+  /** kf md5-ranked members of each coarse cell, as
+    * (ccell, fcell, cvec) — the deterministic fine seeds. Ranking by
+    * md5(vec_id) rather than vec_id itself is a SPREAD guarantee: the
+    * first kf of a pseudo-random permutation is a uniform sample of the
+    * cell, whereas the kf LOWEST ids (the r11 form) picked id-adjacent —
+    * hence embedding-correlated — vectors, whose near-coincident seeds
+    * left one fine cell holding most of the mass and cost ~1.8× pair-scan
+    * work at iteration 0. The ranking shuffle carries only
+    * (ccell, vec_id) 16-byte rows; the k selected ids then join BACK to
+    * the assigned corpus to pick up their embeddings, so the corpus
+    * itself never shuffles for seed selection (k = n/256 rows broadcast —
+    * model-state scale). */
   private def fineSeeds(coarse: DataFrame, kf: Int): DataFrame = {
-    val w = Window.partitionBy("ccell").orderBy("vec_id")
+    val w = Window.partitionBy("ccell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     val ids = coarse.select("ccell", "vec_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= kf)
@@ -1562,12 +1571,15 @@ object VectorOps {
        |                         ORDER BY ${l2RoundSql("v.emb", "c.cvec")}, c.ccell) AS rn
        |    FROM e v, $ct c) WHERE rn = 1)""".stripMargin
 
-  /** kf lowest-vec_id members of each coarse cell as fine seeds. */
+  /** kf md5-ranked members of each coarse cell as fine seeds (mirrors
+    * [[fineSeeds]]'s spread-aware pick; both engines hash the decimal
+    * string form of vec_id). */
   private def fineSeedsCte(cn: String, src: String): String =
     s"""$cn AS (
        |  SELECT ccell, CAST(rn - 1 AS BIGINT) AS fcell, emb AS cvec FROM (
        |    SELECT ccell, emb,
-       |      row_number() OVER (PARTITION BY ccell ORDER BY vec_id) AS rn
+       |      row_number() OVER (PARTITION BY ccell
+       |                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
        |    FROM $src) WHERE rn <= (SELECT kf FROM kp))""".stripMargin
 
   /** Fine argmin: each vector only meets its own coarse cell's

@@ -214,18 +214,14 @@ class PlanSpec extends SparkSpec {
     val df = TextOps.queries("llm_fuzzy_join")(spark, sf)
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // the whole point of SymSpell blocking is an equi-join on deletion
-    // keys; a cartesian/nested-loop here means the blocking key was lost
-    // and the plan re-became the all-pairs scan that dies at 100 TB.
-    // It must also NOT broadcast (both sides are the corpus×keys
-    // expansion — measured 3× slower at sf0.1, impossible at 100 TB)
-    // and NOT shuffle-hash (unspillable build map of that expansion —
-    // OOM'd the sf10 smoke run): sort-merge is the spill-safe shape
+    // r12 shape: NO join of any kind — the del-1 expansion groups by
+    // hashed key (one exchange, spill-safe hash aggregate, zero sorts)
+    // and pairs are generated in-block by an array lambda. Any join
+    // node here means the expansion got self-joined again and pays
+    // double shuffle + sort (or worse, a broadcast of the corpus)
+    assert(!plan.contains("Join"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(!plan.contains("NestedLoop"), plan.take(3000))
-    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
-    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
-    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("Aggregate"), plan.take(3000))
   }
 
   test("entry smoke: flagship query returns rows") {
@@ -259,6 +255,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected decorrelated window:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"lateral fell back to a loop join:\n${plan.take(2000)}")
+  }
+
+  test("join_range: no forced broadcast hint — the catalog side grows with the corpus") {
+    val df = Relational.joinRange(spark, sf)
+    // a pinned broadcast() of the orders-derived interval side cannot fit
+    // at 100 TB; the logical plan must carry no join hint so AQE decides
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "join_range carries a forced join hint")
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join degenerated:\n${plan.take(2000)}")
   }
 
   test("join_range_bucketed: the range predicate rides an equi-join, no loop join") {
