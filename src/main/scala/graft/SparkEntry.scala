@@ -36,10 +36,17 @@ object SparkEntry {
     * definitions (`WINDOW w AS (PARTITION …)`) share the `name AS (`
     * shape but are not CTEs — the guard is that a CTE body must start
     * with SELECT or VALUES, where a window spec starts with
-    * PARTITION/ORDER/ROWS/RANGE. */
+    * PARTITION/ORDER/ROWS/RANGE. CTEs declared with a column list
+    * (`walk(dataset_id, …) AS (`) are matched too — DuckDB accepts
+    * MATERIALIZED on both plain and RECURSIVE column-listed CTEs
+    * (verified) — so the recursive-walk oracle no longer silently
+    * keeps view semantics. The column-list group is conservative:
+    * a flat `(\w[\w, ]*)` — no nesting, no expressions — so function
+    * calls like `sum(x) AS (…)` can never match. */
   private def materializeCtes(sql: String): String =
-    "\\b(\\w+)\\s+AS\\s+\\((?=\\s*(?:SELECT|VALUES)\\b)".r
-      .replaceAllIn(sql, m => m.group(1) + " AS MATERIALIZED (")
+    "\\b(\\w+)\\s*(\\(\\s*\\w[\\w, \\t\\r\\n]*\\))?\\s+AS\\s+\\((?=\\s*(?:SELECT|VALUES)\\b)".r
+      .replaceAllIn(sql, m => m.group(1) + Option(m.group(2)).getOrElse("") +
+        " AS MATERIALIZED (")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -7,9 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg (dev only; the driver passes 2): run just the
-    // queries whose name contains the substring — targeted oracle checks
-    // without the full 120+-query dump
+    // queries whose name contains ANY of the comma-separated substrings
+    // — targeted oracle checks without the full 190+-query dump. Used
+    // by tools/verify_touched.sh with a git-diff-derived list.
     val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +22,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -740,21 +740,32 @@ object VectorOps {
     // work per row — and the collapsed mega-projection falls out of
     // whole-stage codegen into interpreted evaluation (measured: 6.7 s
     // of an 11.3 s sf1 run in exactly this projection; the r10 flat
-    // form paid the same tax). The checkpoint also pins the assignment
-    // so the self-join below reads one materialized corpus instead of
-    // growing two identical assign subtrees — int8-ready rows are the
-    // artifact production SemDeDup persists.
+    // form paid the same tax).
+    val sc = assigned.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val pre = assigned
       .select(col("vec_id"), col("cell"), col("embedding"),
         array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           .as("maxabs"))
       .localCheckpoint()
+    val preIds = sc.getPersistentRDDs.keySet -- before
+    // checkpoint the QUANTIZED rows too: the self-join below reads q
+    // twice, and without this pin each side re-runs the quantize
+    // transform + nq aggregate — int8-ready rows are the artifact
+    // production SemDeDup persists. q's checkpoint truncates the
+    // lineage to pre, whose float-corpus blocks are then dead weight:
+    // release them now rather than leaning on the GC-driven
+    // ContextCleaner across a 198-query sweep (query construction is
+    // single-threaded in the harness mains, so the id diff is ours).
     val q = pre
       .select(col("vec_id"), col("cell"),
         transform(col("embedding"),
           x => round(x.cast("double") / col("maxabs") * 127).cast("long"))
           .as("qv"))
       .withColumn("nq", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .localCheckpoint()
+    preIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // the pair scan is the hot loop (|cell|² dots): the codegen'd
     // DotProduct expression replaces the interpreted zip_with+aggregate
     // lambda (6.0 s → sub-second at sf0.1, same integer values — int8

@@ -157,6 +157,15 @@ def main(out_dir, sf_dir):
     if len(sys.argv) > 3:
         # optional 3rd arg: write a CORRECTNESS_rN-shaped JSON artifact
         art = {}
+        # provenance for targeted sweeps (tools/verify_touched.sh): a
+        # partial board must never read as a full one — if any declared
+        # oracle has no dumped result dir, stamp the artifact partial
+        # and list exactly what WAS checked
+        missing = sorted(set(oracles) - set(names))
+        if missing:
+            art["_meta"] = {"partial": True, "checked": len(names),
+                            "not_checked": len(missing),
+                            "queries": sorted(names)}
         for name, n in ok:
             art[name] = {"rows_match": True, "schema_match": True,
                          "hash_match": True, "spark_rows": n,
@@ -191,7 +200,12 @@ def prove(sf_dir):
     return 0
 
 
+USAGE = ("usage: check.py <verify_out_dir> <sf_dir> [artifact.json]\n"
+         "       check.py prove <sf_dir>")
+
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(USAGE)
     if sys.argv[1] == "prove":
         sys.exit(prove(sys.argv[2]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
