@@ -70,8 +70,12 @@ object Bench {
       graft.operators.VectorOps.ensurePqLayout(spark, sfDir)
       graft.operators.GraphOps.ensureClusterLayout(spark, sfDir)
       graft.sources.Formats.ensureZLayout(spark, sfDir)
+      // BLOCKING: an async drop lets one query's pinned blocks (an
+      // iterative build's checkpoints can run to GBs at sf10) overlap
+      // the next query's peak — the r12 sf10 sweep OOM'd the skew demo
+      // on exactly that overlap (fine in isolation, 27.7 s)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     } catch {
       // a failed warm-up (e.g. the trained-layout pre-build) must be
       // VISIBLE: llm_ann_trained would then pay full training inside its
@@ -93,8 +97,12 @@ object Bench {
       // iterative queries (connected components, k-means) leave
       // localCheckpoint blocks behind; dropping them between queries
       // keeps one query's state from stealing memory from the next
+      // BLOCKING: an async drop lets one query's pinned blocks (an
+      // iterative build's checkpoints can run to GBs at sf10) overlap
+      // the next query's peak — the r12 sf10 sweep OOM'd the skew demo
+      // on exactly that overlap (fine in isolation, 27.7 s)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       (elapsed, graft.operators.GraphOps.ccObservationMisses.get() - miss0)
     }
     // TWO FULL SWEEPS, per-query min. The r5–r7 protocol (best-of-2
@@ -138,7 +146,11 @@ object Bench {
     // one-line JSON passed ~5 KB and the driver's stdout tail-capture cut
     // off its head, leaving the round bench unparseable (BENCH_r04
     // "parsed": null). The file is the audit surface.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"load":$loadJson,"cc_obs_misses":$missJson,"queries":${toJson(times)},"sf":"$sfDir"}"""
+    // heap is part of the protocol: the r10 sf10 sweep needed 48g where
+    // r11's passed at the default 8g — a number without its -Xmx is not
+    // comparable round-over-round
+    val heapGb = math.round(Runtime.getRuntime.maxMemory / 1e8) / 10.0
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"heap_gb":$heapGb,"load":$loadJson,"cc_obs_misses":$missJson,"queries":${toJson(times)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"bench_$sfName.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // round-tagged self-contained copy: three rounds of driver-side

@@ -22,9 +22,16 @@ object Probe {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s (warm)")
     }
-    args.drop(1).foreach { name =>
-      run(name)
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    // "logical:<name>" prints the optimized logical plan (what
+    // ProjectionLintSpec sweeps) instead of timing + physical plan
+    args.drop(1).foreach {
+      case n if n.startsWith("logical:") =>
+        val name = n.stripPrefix("logical:")
+        println(SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan.treeString)
+      case name =>
+        run(name)
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -31,8 +31,12 @@ object Verify {
       }
       // iterative/caching queries pin blocks (localCheckpoint, persist);
       // release them so 100+ sequential queries don't accrete memory
+      // BLOCKING: an async drop lets one query's pinned blocks (an
+      // iterative build's checkpoints can run to GBs at sf10) overlap
+      // the next query's peak — the r12 sf10 sweep OOM'd the skew demo
+      // on exactly that overlap (fine in isolation, 27.7 s)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

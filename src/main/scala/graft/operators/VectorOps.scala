@@ -74,12 +74,19 @@ object VectorOps {
       .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
     Tables.embeddings(s, d).join(broadcast(centsArr))
       .select(col("vec_id"), col("label"), col("embedding"),
-        element_at(
+        // coalesce(…, -1) never fires (cents is non-empty) but makes
+        // the argmin NON-NULLABLE: an equi-join on `cell` infers
+        // IsNotNull(cell), and predicate pushdown substitutes the whole
+        // 8-centroid argmin into that inferred filter — a 2nd full
+        // evaluation per corpus row. Non-nullable folds the IsNotNull
+        // to true before it can be pushed (ProjectionLintSpec polices
+        // the class).
+        coalesce(element_at(
           array_sort(transform(col("cents"), c => struct(
             round(lit(2.0) - lit(2.0) * cosine(col("embedding"), c.getField("cvec")), 9)
               .as("dist"),
             c.getField("cell").as("cell")))), 1)
-          .getField("cell").as("cell"))
+          .getField("cell"), lit(-1L)).as("cell"))
   }
 
   /** Materialize the IVF layout with `cell` as a PARTITION COLUMN: a
@@ -109,12 +116,21 @@ object VectorOps {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("qdist").asc, col("cell"))
+    // checkpoint = CONSTRAINT BARRIER, not a perf cache (nqueries×2
+    // rows): probes' `cell` inherits the `< 8` constraint from the
+    // centroid filter, and InferFiltersFromConstraints mirrors it onto
+    // the corpus side of the cell equi-join — where pushdown
+    // substitutes the full argmin expression, re-evaluating it per
+    // row. Severing lineage drops the constraint; the filter was
+    // vacuous anyway (every assigned cell is 0..7). Production IVF
+    // pins the probe list driver-side the same way.
     val probes = queries.join(broadcast(cents))
       .select(col("query_id"), col("q"), col("cell"),
         round(lit(2.0) - lit(2.0) * cosine(col("q"), col("cvec")), 9).as("qdist"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
       .select("query_id", "q", "cell")
+      .localCheckpoint()
     // search only within probed cells
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     probes.join(assigned, "cell")
@@ -765,7 +781,7 @@ object VectorOps {
       .withColumn("nq", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
       .localCheckpoint()
     preIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
     // the pair scan is the hot loop (|cell|² dots): the codegen'd
     // DotProduct expression replaces the interpreted zip_with+aggregate
     // lambda (6.0 s → sub-second at sf0.1, same integer values — int8
@@ -1215,9 +1231,16 @@ object VectorOps {
   def annRandProj(s: SparkSession, d: String): DataFrame = {
     val kShort = RpShortlist
     val emb = Tables.embeddings(s, d)
-    val nemb = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
-        .as("embedding"))
+    // pin the norm as a stored attribute (the simSearchPrenorm lesson,
+    // caught here by ProjectionLintSpec): inlined into the transform
+    // lambda, the full reduction re-runs per ELEMENT — O(dim²)/row
+    // over the whole corpus, outside codegen
+    val nemb = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm"))
+          .as("embedding"))
     val proj = randProjectOf(nemb, dIn = 64, kOut = 8)
     val qp = proj.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id") +:
