@@ -1479,58 +1479,49 @@ object TextOps {
     * scan in DuckDB: a hash-identical result PROVES the blocking
     * missed nothing (recall == exhaustive, not asserted but checked).
     *
-    * Plan shape (PlanSpec pins it): NO join at all. The r6–r11 forms
-    * self-joined the expansion (broadcast: collected 223k keyed rows,
-    * 3× slower, impossible at 100 TB; shuffle-hash: unspillable build
-    * map, OOM'd the sf10 smoke run; sort-merge: spill-safe but pays
-    * TWO full sorts of the expansion and Spark does not reuse the
-    * exchange across the renamed sides — the whole 19n×2 row cost,
-    * 35 s at sf10). A del-1 BLOCK is tiny by construction (the few
-    * strings within distance 1 of one deletion variant), so the join
-    * is overkill: group the expansion by key ONCE — one exchange, a
-    * spill-safe hash aggregate, no sorts — and emit each block's
-    * unordered pairs with an array lambda. [[del1PosKeys]]' position
-    * tags make accepted pairs distance-≤1 BY CONSTRUCTION (profiled
-    * at sf10: the per-candidate `levenshtein` verify was 14 of 31 s —
-    * the position compare is integer-cheap and loses no recall). The
-    * grouping key is `xxhash64(k)` — 8 bytes through the shuffle
-    * instead of an ~18-char string; a 64-bit collision merges two
-    * blocks, and since merged blocks could pair same-position rows
-    * of UNRELATED keys, one thresholded `levenshtein(a, b, 1)` runs
-    * on the emitted pair set (the 26M-row output at sf10, not the
-    * 10⁸-candidate scan) as the collision guard. Deduplication is
-    * IN-BLOCK (`array_distinct` on each block's emitted pairs), not a
-    * global `distinct()`: a substitution pair's only accepted witness
-    * is the same-position deletion block of the substituted index, and
-    * an indel pair's witnesses (several deletion positions of the
-    * longer string hitting the same key) are all the SAME key string —
-    * the shorter string itself — so every true pair is emitted by
-    * exactly one block and the corpus-wide dedup exchange (26M × 36 B
-    * at sf10) is provably redundant.
+    * Plan shape (PlanSpec pins it): sort-merge equi-join on
+    * `xxhash64(deletion key)` — 8 bytes sorted and shuffled instead of
+    * an ~18-char string. NOT broadcast (both sides are the corpus×keys
+    * expansion — collected 223k keyed rows at sf0.1, 3× slower,
+    * impossible at 100 TB) and NOT shuffle-hash (unspillable build map
+    * of the expansion — OOM'd the sf10 smoke run); sort-merge spills
+    * and survives a corpus-scale expansion on both sides. A join-free
+    * variant (group the expansion by key once, emit each block's pairs
+    * with an array lambda — zero sorts) was built and measured in r12:
+    * 54.6 s at sf10 vs 35.0 for the r11 join — higher-order-function
+    * lambdas evaluate OUTSIDE whole-stage codegen, and the interpreted
+    * per-candidate cost beats the sorts it saves at every SF. The join
+    * stays; what the experiment KEPT is [[del1PosKeys]]' position
+    * tags: within a key block, identity-vs-deletion is an exact
+    * insert/delete and two same-position deletions differ only at that
+    * position — so `pos_a = pos_b ∨ pos_a = −1 ∨ pos_b = −1` accepts
+    * exactly the distance-≤1 pairs and the per-candidate
+    * `levenshtein(a, b, 1)` verify (14 of 31 s at sf10, r10 profile)
+    * leaves the hot path. A 64-bit key collision merges unrelated
+    * blocks whose same-position rows would be accepted wrongly, so one
+    * thresholded levenshtein runs on the EMITTED pair set (26M rows at
+    * sf10, not the 10⁸-candidate scan) as the collision guard.
+    * `distinct` because a pair may share several keys (e.g.
+    * equal-prefix deletions).
     *
-    * NOT taken: SymSpell's first-p-chars prefix restriction (keys
-    * from del1 of the 7-char prefix caps key count per string). On
-    * this corpus shape every c_name shares the constant "Customer#"
-    * head, so ALL rows would share one prefix-key block and the
-    * in-block verify re-becomes the O(n²) scan — prefix keys only
-    * help when prefixes are discriminative. */
+    * NOT taken: SymSpell's first-p-chars prefix restriction (keys from
+    * del1 of the 7-char prefix caps key count per string). On this
+    * corpus shape every c_name shares the constant "Customer#" head,
+    * so ALL rows would share one prefix-key block and the in-block
+    * verify re-becomes the O(n²) scan — prefix keys only help when
+    * prefixes are discriminative. */
   def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d)
+    val keyed = Tables.customer(s, d)
       .select(col("c_name").as("name"))
       .select(col("name"), explode(del1PosKeys(col("name"))).as("pk"))
-      .groupBy(xxhash64(col("pk.k")).as("kh"))
-      .agg(collect_list(struct(col("pk.pos").as("pos"), col("name").as("name"))).as("rs"))
-      .select(explode(expr(
-        """array_distinct(flatten(transform(rs, (a, i) ->
-          |  transform(
-          |    filter(slice(rs, i + 2, size(rs)), b ->
-          |      a.name <> b.name AND
-          |      (a.pos = b.pos OR a.pos = -1 OR b.pos = -1)),
-          |    b -> if(a.name < b.name,
-          |            struct(a.name AS name_a, b.name AS name_b),
-          |            struct(b.name AS name_a, a.name AS name_b))))))""".stripMargin))
-        .as("p"))
-      .select(col("p.name_a"), col("p.name_b"))
+      .select(col("name"), xxhash64(col("pk.k")).as("kh"), col("pk.pos").as("pos"))
+    val a = keyed.select(col("name").as("name_a"), col("kh"), col("pos").as("pos_a"))
+    val b = keyed.select(col("name").as("name_b"), col("kh"), col("pos").as("pos_b"))
+    a.hint("merge").join(b, "kh")
+      .where(col("name_a") < col("name_b") &&
+        (col("pos_a") === col("pos_b") ||
+          col("pos_a") === -1 || col("pos_b") === -1))
+      .select("name_a", "name_b").distinct()
       .where(levenshtein(col("name_a"), col("name_b"), 1) >= 0)
       .orderBy("name_a", "name_b")
   }

@@ -214,14 +214,21 @@ class PlanSpec extends SparkSpec {
     val df = TextOps.queries("llm_fuzzy_join")(spark, sf)
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // r12 shape: NO join of any kind — the del-1 expansion groups by
-    // hashed key (one exchange, spill-safe hash aggregate, zero sorts)
-    // and pairs are generated in-block by an array lambda. Any join
-    // node here means the expansion got self-joined again and pays
-    // double shuffle + sort (or worse, a broadcast of the corpus)
-    assert(!plan.contains("Join"), plan.take(3000))
+    // the whole point of SymSpell blocking is an equi-join on (hashed)
+    // deletion keys; a cartesian/nested-loop here means the blocking
+    // key was lost and the plan re-became the all-pairs scan that dies
+    // at 100 TB. It must also NOT broadcast (both sides are the
+    // corpus×keys expansion — 3× slower at sf0.1, impossible at
+    // 100 TB) and NOT shuffle-hash (unspillable build map — OOM'd the
+    // sf10 smoke run): sort-merge is the spill-safe shape. (A join-free
+    // grouped-lambda variant measured 54.6 s vs 35.0 at sf10 in r12 —
+    // interpreted HOF lambdas lose to the codegen'd join; see
+    // TextOps.fuzzyJoin.)
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(plan.contains("Aggregate"), plan.take(3000))
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
   test("entry smoke: flagship query returns rows") {
