@@ -8,9 +8,11 @@ object Probe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
-      // same corpus-scaled count as Bench so probe timings reproduce it
+      // same corpus-scaled count as Bench so probe timings reproduce it;
+      // SPARK_GRAFT_PARTS overrides for partition-count bisection
       .config("spark.sql.shuffle.partitions",
-        Bench.scaledShufflePartitions(sfDir, 32))
+        sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt)
+          .getOrElse(Bench.scaledShufflePartitions(sfDir, 32)))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
