@@ -40,10 +40,16 @@ object SparkEntry {
     * (`walk(dataset_id, …) AS (`) are matched too — DuckDB accepts
     * MATERIALIZED on both plain and RECURSIVE column-listed CTEs
     * (verified) — so the recursive-walk oracle no longer silently
-    * keeps view semantics. The column-list group is conservative:
-    * a flat `(\w[\w, ]*)` — no nesting, no expressions — so function
-    * calls like `sum(x) AS (…)` can never match. */
-  private def materializeCtes(sql: String): String =
+    * keeps view semantics. KNOWN LIMIT (spec-pinned): the column-list
+    * group is a flat `(\w[\w, ]*)` — no nesting, no expressions — but a
+    * flat ARGUMENT list has the same shape, so any future
+    * `word(idents) AS (SELECT …)` construct that is NOT a CTE (e.g. a
+    * DuckDB macro body) WOULD be rewritten. Harmless today because
+    * every oracle is a plain SELECT/WITH query, where that shape only
+    * occurs as a CTE declaration; MaterializeCtesSpec pins the behavior
+    * so introducing such a construct fails a test instead of silently
+    * corrupting its SQL. */
+  private[graft] def materializeCtes(sql: String): String =
     "\\b(\\w+)\\s*(\\(\\s*\\w[\\w, \\t\\r\\n]*\\))?\\s+AS\\s+\\((?=\\s*(?:SELECT|VALUES)\\b)".r
       .replaceAllIn(sql, m => m.group(1) + Option(m.group(2)).getOrElse("") +
         " AS MATERIALIZED (")

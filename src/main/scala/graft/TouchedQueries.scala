@@ -8,17 +8,22 @@ package graft
   *
   * The mapping is intentionally coarse and FAIL-SAFE: each operator
   * module maps to exactly the queries it registers in
-  * [[SparkEntry.queries]]; any changed main-source file NOT in the
-  * table (shared infrastructure — Tables, SparkEntry, functions/,
-  * plans/, sources/ internals, streaming/) prints `ALL`, forcing the
-  * full board. Test/tool/doc changes match nothing and are ignored.
-  * So a partial sweep can never silently under-check: only edits
-  * provably confined to one module's query set narrow the board.
+  * [[SparkEntry.queries]]; any changed main-source OR build-config file
+  * NOT in the table (shared infrastructure — Tables, SparkEntry,
+  * functions/, plans/, sources/ internals, streaming/, build.sbt,
+  * project/) yields `ALL`, forcing the full board — a dependency bump
+  * can change results without touching any operator module, so build
+  * config is deliberately NOT inert. Test/tool/doc changes match
+  * nothing and are ignored. So a partial sweep can never silently
+  * under-check: only edits provably confined to one module's query set
+  * narrow the board. TouchedQueriesSpec pins that the table's union
+  * covers every declared query (a new module left unmapped fails the
+  * spec, not just the fail-safe) and that unknown files force ALL.
   */
 object TouchedQueries {
   import graft.{operators => o}
 
-  private val modules: Map[String, () => Set[String]] = Map(
+  private[graft] val modules: Map[String, () => Set[String]] = Map(
     "operators/ChunkCatalog.scala" -> (() => o.ChunkCatalog.queries.keySet),
     "operators/Relational.scala" -> (() => o.Relational.queries.keySet),
     "operators/ScalarFns.scala" -> (() => o.ScalarFns.queries.keySet),
@@ -33,34 +38,45 @@ object TouchedQueries {
 
   /** Changed files whose edits cannot change any query's RESULT: tests,
     * tools, docs, and the dev/bench harness mains (Bench times queries,
-    * it does not define them; ScaleGen/Probe generate dev corpora). */
-  private val inert = Seq(
-    "src/test/", "tools/", ".md", ".sbt", "project/",
+    * it does not define them; ScaleGen/Probe generate dev corpora).
+    * Build config (build.sbt, project/) is NOT here — a dependency bump
+    * can change every query's result, so it classifies as ALL. */
+  private[graft] val inert = Seq(
+    "src/test/", "tools/", ".md",
     "graft/Bench.scala", "graft/Verify.scala", "graft/ScaleGen.scala",
     "graft/Probe.scala", "graft/SnapshotScaleProbe.scala",
     "graft/TouchedQueries.scala")
 
-  def main(args: Array[String]): Unit = {
-    val files = args.toSeq.filter(_.nonEmpty)
-    val active = files.filterNot(f => inert.exists(f.contains))
+  /** Pure classification: `NONE` (nothing query-bearing changed),
+    * `ALL` (shared infra / build config — full board), or the sorted
+    * comma-joined query-name list. Spec-pinned; [[main]] only formats. */
+  private[graft] def classify(files: Seq[String]): String = {
+    val active = files.filter(_.nonEmpty).filterNot(f => inert.exists(f.contains))
     val (known, unknown) = active.partition(f => modules.keys.exists(f.endsWith))
+    if (unknown.nonEmpty) "ALL"
+    else if (known.isEmpty) "NONE"
+    else known.flatMap(f =>
+      modules.collectFirst { case (k, qs) if f.endsWith(k) => qs() }.get)
+      .toSet.toSeq.sorted.mkString(",")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val verdict = classify(args.toSeq)
     // the machine-readable line goes to STDERR with a `TOUCHED:` prefix:
     // sbt logs a forked JVM's stdout at info level, which the script's
     // `-error` invocation suppresses — stderr passes through at [error]
     def emit(v: String): Unit = System.err.println(s"TOUCHED:$v")
-    if (unknown.nonEmpty) {
-      System.err.println(
-        s"[touched] shared-infra files changed -> full board: ${unknown.mkString(", ")}")
-      emit("ALL")
-    } else if (known.isEmpty) {
-      System.err.println("[touched] no query-bearing files changed")
-      emit("NONE")
-    } else {
-      val names = known.flatMap(f =>
-        modules.collectFirst { case (k, qs) if f.endsWith(k) => qs() }.get)
-        .toSet.toSeq.sorted
-      System.err.println(s"[touched] ${known.size} module(s) -> ${names.size} queries")
-      emit(names.mkString(","))
+    verdict match {
+      case "ALL" =>
+        System.err.println("[touched] shared-infra/build files changed -> full board")
+        emit("ALL")
+      case "NONE" =>
+        System.err.println("[touched] no query-bearing files changed")
+        emit("NONE")
+      case names =>
+        System.err.println(
+          s"[touched] ${names.count(_ == ',') + 1} targeted queries")
+        emit(names)
     }
   }
 }

@@ -53,6 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the FULL declared query universe (not just oracle keys): check.py
+    // stamps a sweep partial against this list, so a targeted sweep that
+    // happens to dump every oracle-bearing query but omits rows-only
+    // ones still reads as partial
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -265,8 +265,12 @@ object GraphOps {
   def clusterLayoutDir(d: String): String =
     // v2: the MinHash band family moved from xxhash64 to md5-derived
     // permutations (round 10) — the corpus-wide labels in a v1 artifact
-    // would silently disagree with the new oracle
-    VectorOps.corpusLayoutDir(d, "graft-dedup-cc-v2", "documents.parquet")
+    // would silently disagree with the new oracle.
+    // v3: the band KEY folded from a 16-char md5-prefix string to the
+    // digest's first 60 bits as a long (round 13) — bucket identity is
+    // now 60-bit-prefix equality, so a v2 artifact is a different
+    // (if almost surely value-identical) family definition.
+    VectorOps.corpusLayoutDir(d, "graft-dedup-cc-v3", "documents.parquet")
 
   /** Build-ONCE cluster assignment tables for corpus `d`:
     *

@@ -107,15 +107,63 @@ object Relational {
       .orderBy("c_custkey")
 
   // ---------------------------------------------------------------- B16
-  /** Theta join: equi on nation + non-equi on acctbal, aggregated. */
-  def joinTheta(s: SparkSession, d: String): DataFrame =
-    Tables.supplier(s, d).as("s")
+  /** Theta join — COUNT form: per nation, how many (supplier, customer)
+    * pairs have s_acctbal > c_acctbal. The output needs only the COUNT,
+    * so enumerating the join rows (the naive plan this replaced) grows
+    * quadratically with scale — 13.4× on 10× data at sf10, ~10⁴× join
+    * rows at the 100× question. Instead this is the [[aggMannWhitney]]
+    * rank-count fold: union both sides tagged into a per-(nation, bal)
+    * VALUE HISTOGRAM (one map-side-combined aggregate — the only
+    * corpus-grained exchange), then a running customer count over each
+    * nation's distinct balances gives, at every balance, the customers
+    * strictly below it; Σ n_sup(bal) · cust_below(bal) is the pair count.
+    * Strict `>` is free: the rows-to-−1 frame over the DISTINCT-value
+    * frame excludes the current balance's own customers. O(n log n), one
+    * linear shuffle + one histogram-sized window — same oracle SQL (the
+    * relation is unchanged), PlanSpec pins that no Join survives. The
+    * genuine pair-enumerating theta capability lives in
+    * [[joinThetaPairs]], whose RESULT is the join rows. */
+  def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("bal"),
+        lit(1L).as("ns"), lit(0L).as("nc"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("bal"),
+        lit(0L).as("ns"), lit(1L).as("nc"))
+    val hist = sup.unionByName(cust)
+      .groupBy("nationkey", "bal")
+      .agg(sum("ns").as("n_sup"), sum("nc").as("n_cust"))
+    val below = Window.partitionBy("nationkey").orderBy("bal")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cust_below", coalesce(sum("n_cust").over(below), lit(0L)))
+      .groupBy("nationkey")
+      .agg(sum(col("n_sup") * col("cust_below")).as("n_pairs"))
+      // nations contributing no qualifying pair never appear in the
+      // inner-join form; n_pairs = 0 is exactly that set
+      .filter(col("n_pairs") > 0)
+      .orderBy("nationkey")
+  }
+
+  // ---------------------------------------------------------------- B16b
+  /** Theta join — PAIR form: the B16 capability pinned by a query whose
+    * RESULT genuinely is the join rows (not a count a fold can compute):
+    * for a FIXED probe set of suppliers (s_suppkey < 20 — the bounded-
+    * probe discipline of the doc_id < 150 pair queries), every
+    * same-nation customer whose balance sits within 500 below the
+    * supplier's, with the gap. Output grows linearly with the customer
+    * table (probe side constant), so the enumeration is scale-honest;
+    * the equi key on nation carries the join, the band predicate
+    * post-filters. All-decimal gap arithmetic — exact on both engines. */
+  def joinThetaPairs(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).filter(col("s_suppkey") < 20).as("s")
       .join(Tables.customer(s, d).as("c"),
         col("s.s_nationkey") === col("c.c_nationkey") &&
-          col("s.s_acctbal") > col("c.c_acctbal"))
-      .groupBy(col("s.s_nationkey").as("nationkey"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("nationkey")
+          col("s.s_acctbal") - col("c.c_acctbal") >= 0 &&
+          col("s.s_acctbal") - col("c.c_acctbal") < 500)
+      .select(col("s.s_suppkey").as("suppkey"), col("c.c_custkey").as("custkey"),
+        (col("s.s_acctbal") - col("c.c_acctbal")).as("gap"))
+      .orderBy("suppkey", "custkey")
 
   // ---------------------------------------------------------------- B17
   /** Range/interval-containment join: order keys (points) vs chunk-catalog
@@ -1731,6 +1779,7 @@ object Relational {
     "join_semi"      -> (joinSemi(_, _)),
     "join_anti"      -> (joinAnti(_, _)),
     "join_theta"     -> (joinTheta(_, _)),
+    "join_theta_pairs" -> (joinThetaPairs(_, _)),
     "join_range"     -> (joinRange(_, _)),
     "join_range_bucketed" -> (joinRangeBucketed(_, _)),
     "join_asof"      -> (joinAsof(_, _)),
@@ -2450,6 +2499,14 @@ object Relational {
         |FROM supplier JOIN customer
         |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_theta_pairs" ->
+      """SELECT s_suppkey AS suppkey, c_custkey AS custkey,
+        |  s_acctbal - c_acctbal AS gap
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey
+        |  AND s_acctbal - c_acctbal >= 0 AND s_acctbal - c_acctbal < 500
+        |WHERE s_suppkey < 20
+        |ORDER BY suppkey, custkey""".stripMargin,
     "join_range" ->
       s"""${ChunkCatalog.catalogSql}
          |SELECT p.dataset_id, c.chunk_id, CAST(COUNT(*) AS BIGINT) AS n_pts,

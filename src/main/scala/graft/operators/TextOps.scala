@@ -459,14 +459,24 @@ object TextOps {
     * and sums as DECIMAL so the aggregate is partition-order-exact in
     * both engines. */
   def perplexity(s: SparkSession, d: String): DataFrame = {
-    // the exploded bigram stream feeds BOTH the LM aggregation and the
-    // per-doc scoring join; caching it is the single-job analog of
-    // materializing the tokenized corpus once (what a production
-    // pipeline does) instead of re-exploding the corpus per consumer
-    val bg = Tables.documents(s, d)
+    // VOCAB-FOLD (the [[bpeCorpus]] dictionary shape): the occurrence
+    // stream collapses to a per-(doc, bigram) HISTOGRAM in its very
+    // first aggregate — map-side combine absorbs within-doc repeats
+    // before anything shuffles — and every later stage (LM counts, the
+    // scoring join, the per-doc fold) works on distinct bigrams weighted
+    // by `c`. Scoring each distinct (doc, bigram) once and multiplying
+    // the round-4 ll by the exact integer count is value-identical to
+    // scoring every occurrence (c·ll is exact decimal arithmetic), so
+    // the oracle is unchanged — but the join and the cached frame shrink
+    // by the corpus's duplication factor, which at sf10 was the #2/#3
+    // bench rows. The histogram feeds BOTH the LM aggregation and the
+    // scoring join; caching it is the single-job analog of materializing
+    // the tokenized corpus once instead of re-exploding per consumer.
+    val bgc = Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .persist()
-    val counts = bg.groupBy("bg").agg(count(lit(1)).as("n_bg"))
+    val counts = bgc.groupBy("bg").agg(sum("c").as("n_bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     val prefix = counts.groupBy("w1").agg(sum("n_bg").as("n_prefix"))
     val lm = counts.join(prefix, "w1")
@@ -481,9 +491,9 @@ object TextOps {
     // corpus (it is NOT bounded model state — sf10 already carries
     // millions of rows), so forcing a broadcast regresses at scale;
     // the planner broadcasts while small and shuffle-joins beyond
-    bg.join(lm, "bg")
+    bgc.join(lm, "bg")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("ll").as("ll_sum"))
+      .agg(sum("c").as("n_bigrams"), sum(col("c") * col("ll")).as("ll_sum"))
       // total, not mean: the decimal sum is engine-exact, while
       // round(sum/n, 4) keeps landing on exact decimal midpoints
       // (sum4/n with small n) where the two engines' half-rounding of
@@ -544,8 +554,8 @@ object TextOps {
     * is md5 (its two 32-bit halves), the permutations are [[mhConst]]
     * affine maps over those halves — md5 over xxhash64 (r1–r9) because
     * DuckDB computes the identical hex, which moves the whole minhash
-    * family onto the hash-checked oracle board; the band key is
-    * likewise an md5-prefix string of the band's signature slice.
+    * family onto the hash-checked oracle board; the band key is the
+    * band's signature-slice md5 folded to an 8-byte long.
     *
     * Shape: explode (doc, shingle), then take the 32 per-permutation
     * mins in ONE hash aggregate — partial (map-side) min combine means
@@ -582,13 +592,21 @@ object TextOps {
     val sig = exploded.groupBy("doc_id")
       .agg(min(perm(0)).as("h0"),
         (1 until nPerm).map(i => min(perm(i)).as(s"h$i")): _*)
-    // band key = md5 prefix of the band's rowsPerBand signature values
+    // band key = the band's signature md5 folded to an 8-byte LONG (the
+    // digest's first 60 bits via the same conv() trick as h60 — 15 hex
+    // chars so ANSI signed-long cast can't overflow): the fuzzy join
+    // proved hashed keys halve the band-join shuffle bytes vs the
+    // former 16-char hex STRING, and DuckDB computes the identical
+    // value, so the whole pipeline stays on the hash-checked oracle
+    // board. A 60- vs 64-bit prefix only changes which md5 COLLISIONS
+    // bucket together (none observed; both engines agree regardless).
     sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          substring(md5(concat_ws("_",
+          conv(substring(md5(concat_ws("_",
             (b * rowsPerBand until (b + 1) * rowsPerBand)
-              .map(i => col(s"h$i").cast("string")): _*)), 1, 16).as("bh"))
+              .map(i => col(s"h$i").cast("string")): _*)), 1, 15), 16, 10)
+            .cast("long").as("bh"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
@@ -1417,22 +1435,29 @@ object TextOps {
     val cu = train.select(explode(split(col("text"), " ")).as("w2"))
       .groupBy("w2").agg(count(lit(1)).as("cu"))
     val nw = cu.agg(sum("cu").as("nw"))
+    // VOCAB-FOLD ([[perplexity]]'s discipline): held-out occurrences
+    // collapse to a per-(doc, bigram) histogram before the LM joins —
+    // each distinct bigram is scored ONCE and its round-4 ll multiplied
+    // by the exact integer count, value-identical to per-occurrence
+    // scoring, so the oracle is unchanged while the two LM joins see
+    // duplication-factor fewer probe rows.
     docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
       // the bigram LM and unigram vocab grow with the training half
       // of the corpus — no broadcast hints; the 1-row total stays
       .join(lmB, Seq("bg"), "left")
       .join(cu, Seq("w2"), "left")
       .crossJoin(broadcast(nw))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("c"),
         round(log(
           coalesce(col("cb").cast("double") / col("cp"), lit(0.0)) * 0.7 +
             coalesce(col("cu").cast("double") / col("nw"), lit(0.0)) * 0.3 +
             lit(1e-9)), 4).cast("decimal(18,4)").as("ll"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        (-sum(col("ll"))).cast("double").as("total_nll"))
+      .agg(sum("c").as("n_bigrams"),
+        (-sum(col("c") * col("ll"))).cast("double").as("total_nll"))
       .orderBy("doc_id")
   }
 
@@ -1820,7 +1845,7 @@ object TextOps {
       |  FROM shh, mc GROUP BY doc_id, p),
       |bands AS (
       |  SELECT doc_id, p // 4 AS band,
-      |    substring(md5(string_agg(CAST(h AS VARCHAR), '_' ORDER BY p)), 1, 16) AS bh
+      |    CAST('0x' || substring(md5(string_agg(CAST(h AS VARCHAR), '_' ORDER BY p)), 1, 15) AS BIGINT) AS bh
       |  FROM perms GROUP BY doc_id, p // 4)""".stripMargin
   }
 

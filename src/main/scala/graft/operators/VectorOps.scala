@@ -230,7 +230,8 @@ object VectorOps {
         // at kc = ⌈√k⌉ with one further update — the same c3-probes-a2
         // contract as the flat build; (2) assign the corpus to the c3
         // coarse cells; (3) 3-round FINE Lloyd within each coarse cell
-        // at kf centroids (seeded by the kf lowest member ids), where
+        // at kf centroids (md5-rank spread-aware seeds, [[fineSeeds]]),
+        // where
         // each round's assign joins on ccell so a vector only meets its
         // own cell's candidates. Composite cell = ccell·kf + fcell.
         val kc = coarseCellCount(k)

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate over a [[SnapshotTable]] — the
   * lake-side answer to the reference's always-current catalog totals
-  * (`/root/reference/src/chunk_catalog.rs` keeps quota sums updated on
-  * every mutation; a 100 TB lake can't re-sum the table per query, and
-  * re-running the full GROUP BY per refresh re-reads everything).
+  * (the quota check re-sums chunk sizes per dataset on every ingest,
+  * `/root/reference/src/data_manager.rs:229-239`, over the per-chunk
+  * size lookups stubbed at
+  * `/root/reference/src/rocksdb_storage_engine.rs:143-148`; a 100 TB
+  * lake can't re-sum the table per query, and re-running the full
+  * GROUP BY per refresh re-reads everything).
   *
   * The view is itself a SnapshotTable holding `(group, cnt, total)` plus
   * a `#basedon=<v>` manifest bookmark naming the base version it

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[SparkEntry.materializeCtes]]'s rewrite surface (r12 advisor):
+  * what it must hit (plain + column-listed + recursive CTEs), what it
+  * must never hit (named WINDOW specs, expression contexts), and the
+  * one documented false-positive shape so a future oracle using it
+  * fails here instead of shipping corrupted SQL. */
+class MaterializeCtesSpec extends AnyFunSuite {
+  private def mz(sql: String) = SparkEntry.materializeCtes(sql)
+
+  test("plain CTE gets MATERIALIZED") {
+    assert(mz("WITH t AS (SELECT 1) SELECT * FROM t")
+      == "WITH t AS MATERIALIZED (SELECT 1) SELECT * FROM t")
+  }
+
+  test("column-listed and recursive CTEs get MATERIALIZED") {
+    assert(mz("WITH RECURSIVE walk(id, d) AS (SELECT 1, 0) SELECT * FROM walk")
+      == "WITH RECURSIVE walk(id, d) AS MATERIALIZED (SELECT 1, 0) SELECT * FROM walk")
+    assert(mz("WITH v AS (VALUES (1)) SELECT * FROM v")
+      == "WITH v AS MATERIALIZED (VALUES (1)) SELECT * FROM v")
+  }
+
+  test("named WINDOW specs are untouched (body starts with PARTITION/ORDER)") {
+    val w = "SELECT sum(x) OVER w FROM t WINDOW w AS (PARTITION BY k ORDER BY x)"
+    assert(mz(w) == w)
+  }
+
+  test("expression aliases are untouched (no parenthesized SELECT follows)") {
+    val q = "SELECT sum(x) AS total FROM t"
+    assert(mz(q) == q)
+  }
+
+  test("DOCUMENTED LIMIT: macro-shaped `word(idents) AS (SELECT…)` IS rewritten") {
+    // a flat argument list matches the flat column-list group — fine for
+    // the oracle corpus (all plain SELECT/WITH, where this shape is only
+    // a CTE), fatal for e.g. CREATE MACRO. If this assertion surprises
+    // you, you are about to add such a construct: restrict the regex
+    // (anchor to WITH/comma context) before doing so.
+    assert(mz("CREATE MACRO f(a, b) AS (SELECT a + b)")
+      == "CREATE MACRO f(a, b) AS MATERIALIZED (SELECT a + b)")
+  }
+
+  test("every shipped oracle survives a DuckDB-parseable rewrite shape") {
+    // sanity: the rewrite never produces AS MATERIALIZED twice and never
+    // touches a string with no CTEs
+    SparkEntry.oracleSql.values.foreach { sql =>
+      assert(!sql.contains("MATERIALIZED MATERIALIZED"), sql.take(200))
+    }
+  }
+}

@@ -39,6 +39,22 @@ class PlanSpec extends SparkSpec {
     assert(executedPlan(Relational.joinAnti(spark, sf)).contains("LeftAnti"))
   }
 
+  test("join_theta: rank-count fold — no Join node survives") {
+    // the output is a per-nation pair COUNT; enumerating the pairs grows
+    // quadratically with scale (13.4× on 10× data before the rewrite).
+    // The histogram+window fold computes the same relation join-free.
+    val plan = executedPlan(Relational.joinTheta(spark, sf))
+    assert(!plan.contains("Join"),
+      "pair enumeration crept back into the count query:\n" + plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
+  test("join_theta_pairs: band theta rides the nation equi-join, no nested loop") {
+    val plan = executedPlan(Relational.joinThetaPairs(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      "band predicate must post-filter an equi-join:\n" + plan.take(2000))
+  }
+
   test("topk plans TakeOrderedAndProject (no global sort of the table)") {
     val plan = executedPlan(Relational.topk(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))

@@ -158,10 +158,18 @@ def main(out_dir, sf_dir):
         # optional 3rd arg: write a CORRECTNESS_rN-shaped JSON artifact
         art = {}
         # provenance for targeted sweeps (tools/verify_touched.sh): a
-        # partial board must never read as a full one — if any declared
-        # oracle has no dumped result dir, stamp the artifact partial
-        # and list exactly what WAS checked
-        missing = sorted(set(oracles) - set(names))
+        # partial board must never read as a full one — compare dumped
+        # dirs against the FULL declared query universe (Verify writes
+        # query_names.json), not just oracle keys, so a sweep that omits
+        # only rows-only queries still stamps partial; fall back to
+        # oracle keys for pre-universe dumps
+        universe_path = os.path.join(out_dir, "query_names.json")
+        if os.path.exists(universe_path):
+            with open(universe_path) as f:
+                universe = set(json.load(f))
+        else:
+            universe = set(oracles)
+        missing = sorted(universe - set(names))
         if missing:
             art["_meta"] = {"partial": True, "checked": len(names),
                             "not_checked": len(missing),

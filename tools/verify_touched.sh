@@ -24,7 +24,10 @@ OUT=/tmp/vout_touched
 if [ "$REF" = "--all" ]; then
   LIST=ALL
 else
-  FILES=$(git diff --name-only "$REF" -- 'src/main/scala/*' | tr '\n' ' ')
+  # build.sbt/project/ are in the pathspec ON PURPOSE: a dependency bump
+  # can change query results without touching src/main — TouchedQueries
+  # classifies them ALL (full board), never inert
+  FILES=$(git diff --name-only "$REF" -- 'src/main/scala/*' build.sbt 'project/*' | tr '\n' ' ')
   LIST=$(sbt -batch -error "runMain graft.TouchedQueries $FILES" 2>&1 \
     | sed -n 's/^.*TOUCHED://p' | tail -1 | tr -d '[:space:]')
   [ -n "$LIST" ] || { echo "TouchedQueries produced no list"; exit 1; }
@@ -39,7 +42,20 @@ case "$LIST" in
 esac
 
 rm -rf "$OUT"
-sbt -batch "runMain graft.Verify $SF_DIR $OUT $FILTER" 2>&1 \
-  | grep -E '\[verify\].*failed' && { echo "Verify had failures"; exit 1; } || true
+# tee the full sbt output to a log and gate on BOTH signals: sbt's own
+# exit status (an sbt crash prints no '[verify]…failed' line — the grep
+# alone would swallow it under pipefail's `|| true`) and the per-query
+# failure lines
+VLOG=/tmp/verify_touched_sbt.log
+set +e   # capture the pipeline status ourselves (|| true would reset PIPESTATUS)
+sbt -batch "runMain graft.Verify $SF_DIR $OUT $FILTER" 2>&1 | tee "$VLOG"
+SBT_STATUS=${PIPESTATUS[0]}
+set -e
+if [ "$SBT_STATUS" -ne 0 ]; then
+  echo "sbt Verify exited nonzero ($SBT_STATUS; full log: $VLOG)"; exit 1
+fi
+if grep -qE '\[verify\].*failed' "$VLOG"; then
+  echo "Verify had failures"; exit 1
+fi
 
 python3 tools/check.py "$OUT" "$SF_DIR" ${ARTIFACT:+"$ARTIFACT"}
