@@ -45,7 +45,7 @@ object TouchedQueries {
     "src/test/", "tools/", ".md",
     "graft/Bench.scala", "graft/Verify.scala", "graft/ScaleGen.scala",
     "graft/Probe.scala", "graft/SnapshotScaleProbe.scala",
-    "graft/TouchedQueries.scala")
+    "graft/Plans.scala", "graft/TouchedQueries.scala")
 
   /** Pure classification: `NONE` (nothing query-bearing changed),
     * `ALL` (shared infra / build config — full board), or the sorted
