@@ -20,9 +20,17 @@ object Probe {
       val fn = SparkEntry.queries(name)
       // warm
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // drop pinned blocks between runs — same discipline as Bench; a
+      // multi-query probe otherwise accretes earlier queries' cached
+      // state into later ones' memory budget (llm_bigrams read 36 s in
+      // an 8-query probe chain vs ~22 s in the Bench sweep, r13)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s (warm)")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // "logical:<name>" prints the optimized logical plan (what
     // ProjectionLintSpec sweeps) instead of timing + physical plan
