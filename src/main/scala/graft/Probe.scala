@@ -2,7 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc plan/timing probe (dev tool, not part of the driver contract). */
+/** Ad-hoc plan/timing probe (dev tool, not part of the driver contract).
+  *
+  * Isolated per-query timing is the instrument for CROSS-ROUND per-query
+  * claims (r13 rule): an in-sweep number carries its predecessors'
+  * warm-state (the r13 skew_salted_join incident read +20.5 s in both
+  * sweeps from a board edit that never touched it), where a probe run
+  * times the query against a quiesced session. With
+  * `SPARK_GRAFT_PROBE_OUT=<path>` the probe commits a JSON artifact
+  * (per-query min-of-samples + every sample + load/steal window) so
+  * round claims can quote a diffable file instead of prose — the r13
+  * verdict's task 2. `SPARK_GRAFT_PROBE_SAMPLES` sets timed runs per
+  * query (default 2; 1 for expensive one-off growth probes).
+  *
+  * NOT the instrument for `snapshot_*` write-path queries: the warm
+  * pass has already grown the version chain, so the probe times a
+  * bigger table than the sweep does — their in-sweep number is the
+  * instrument (r13 finding, see IMPLEMENTATION.md).
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -16,32 +33,83 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String): Unit = {
+    val artifactPath = sys.env.get("SPARK_GRAFT_PROBE_OUT")
+    val nSamples = sys.env.get("SPARK_GRAFT_PROBE_SAMPLES").map(_.toInt).getOrElse(2)
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val n = java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get("/proc/stat")).get(0)
+          .split("\\s+").drop(1).map(_.toLong)
+        (if (n.length > 7) n(7) else 0L, n.take(8).sum)
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    // drop pinned blocks between runs — same discipline as Bench; a
+    // multi-query probe otherwise accretes earlier queries' cached
+    // state into later ones' memory budget (llm_bigrams read 36 s in
+    // an 8-query probe chain vs ~22 s in the Bench sweep, r13)
+    def quiesce(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    // warm (uncounted) + nSamples timed runs; returns every sample
+    def run(name: String): Seq[Double] = {
       val fn = SparkEntry.queries(name)
-      // warm
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      // drop pinned blocks between runs — same discipline as Bench; a
-      // multi-query probe otherwise accretes earlier queries' cached
-      // state into later ones' memory budget (llm_bigrams read 36 s in
-      // an 8-query probe chain vs ~22 s in the Bench sweep, r13)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s (warm)")
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      quiesce()
+      (1 to nSamples).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        println(f"[probe] $name $t%.2f s (warm)")
+        t
+      }
     }
+    val loadBefore = loadavg()
+    val (steal0, jif0) = cpuJiffies()
     // "logical:<name>" prints the optimized logical plan (what
     // ProjectionLintSpec sweeps) instead of timing + physical plan
-    args.drop(1).foreach {
+    val timed = args.drop(1).flatMap {
       case n if n.startsWith("logical:") =>
         val name = n.stripPrefix("logical:")
         println(SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.optimizedPlan.treeString)
+        None
       case name =>
-        run(name)
-        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        val samples = run(name)
+        // plan dump is probe-console material, not artifact material —
+        // suppress it on artifact runs so a 10-query probe's stdout
+        // stays readable
+        if (artifactPath.isEmpty)
+          SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        Some(name -> samples)
+    }
+    val loadAfter = loadavg()
+    val (steal1, jif1) = cpuJiffies()
+    val stealPct =
+      if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
+      else -1.0
+    artifactPath.foreach { p =>
+      val heapGb = math.round(Runtime.getRuntime.maxMemory * 10.0 / (1L << 30)) / 10.0
+      val qj = timed.sortBy(_._1).map { case (n, ss) =>
+        s"\"$n\":${ss.min}"
+      }.mkString("{", ",", "}")
+      val sj = timed.sortBy(_._1).map { case (n, ss) =>
+        s"\"$n\":[" + ss.map(t =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+          .mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val line = s"""{"metric":"probe_isolated","unit":"sec","samples_per_query":$nSamples,""" +
+        s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+        s""""heap_gib":$heapGb,""" +
+        s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
+        s""""queries":$qj,"samples":$sj,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[probe] artifact -> $p")
+      println(line)
     }
     spark.stop()
   }

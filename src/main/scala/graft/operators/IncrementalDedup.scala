@@ -35,6 +35,34 @@ import graft.sources.SnapshotTable
   * batch-by-batch. */
 object IncrementalDedup {
 
+  /** Band-index FORMAT version, stamped into every index commit's
+    * manifest and checked before every index join. The index persists
+    * [[TextOps.bandSignatures]] output across processes, so a change to
+    * the hash family or key encoding strands committed rows in the old
+    * format — and the join degrades SILENTLY (r13 folded the band key
+    * from a 16-char md5-hex string to a 60-bit long; a pre-fold index
+    * would implicit-cast string `bh` against long, match nothing, and
+    * wave every dup through). Mirrors the `graft-dedup-cc-v3` layout
+    * discipline ([[GraphOps.clusterLayoutDir]]): bump this IN LOCKSTEP
+    * with that version whenever bandSignatures changes shape. */
+  private[graft] val IndexFormat = 3
+  private val FormatMeta = s"#band_index_format=$IndexFormat"
+
+  /** Fail fast if `indexTable`'s newest manifest was stamped by a
+    * different [[IndexFormat]] (or none — an index older than the
+    * stamp discipline is equally unreadable: its rows are in an
+    * unknown band format). */
+  private def requireFormat(indexTable: String, version: Long): Unit = {
+    val stamped = SnapshotTable.manifestMeta(indexTable, version)
+      .collectFirst { case s if s.startsWith("#band_index_format=") =>
+        s.stripPrefix("#band_index_format=") }
+    require(stamped.contains(IndexFormat.toString),
+      s"band index $indexTable v$version has format " +
+        s"${stamped.getOrElse("<unstamped>")}, this build writes v$IndexFormat " +
+        "(TextOps.bandSignatures changed shape) — rebuild the index; " +
+        "joining across formats silently matches nothing")
+  }
+
   /** Process one batch of `(doc_id, text, …)` rows: returns the rows
     * that survive dedup against both the index and the batch itself,
     * and commits the batch's band signatures to `indexTable`. Batches
@@ -43,8 +71,10 @@ object IncrementalDedup {
   def processBatch(spark: SparkSession, indexTable: String,
       batch: DataFrame): DataFrame = {
     val bands = TextOps.bandSignatures(batch).localCheckpoint()
+    val indexVersion = SnapshotTable.currentVersion(indexTable)
+    if (indexVersion > 0) requireFormat(indexTable, indexVersion)
     val seenBefore =
-      if (SnapshotTable.currentVersion(indexTable) > 0)
+      if (indexVersion > 0)
         bands.join(SnapshotTable.read(spark, indexTable),
           Seq("band", "bh"), "left_semi")
           .select("doc_id")
@@ -55,7 +85,8 @@ object IncrementalDedup {
       .select(col("b.doc_id").as("doc_id"))
     val dropped = seenBefore.unionByName(dupWithinBatch).distinct()
     val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
-    SnapshotTable.commit(spark, indexTable, bands, append = true)
+    SnapshotTable.commitWithMeta(spark, indexTable, bands, append = true,
+      meta = Seq(FormatMeta))
     kept
   }
 

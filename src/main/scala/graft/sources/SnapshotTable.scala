@@ -185,7 +185,7 @@ object SnapshotTable {
     commitWithMeta(spark, table, df, append = true, meta = Seq(s"#batch=$batchId"))
   }
 
-  private[sources] def commitWithMeta(spark: SparkSession, table: String,
+  private[graft] def commitWithMeta(spark: SparkSession, table: String,
       df: DataFrame, append: Boolean, meta: Seq[String]): Long = {
     val dataDir = Paths.get(table, "data", UUID.randomUUID().toString)
     df.write.parquet(dataDir.toString)

@@ -58,5 +58,39 @@ class IncrementalDedupSpec extends SparkSpec {
       .filter(size(split($"text", " ")) >= 3).select("doc_id")
       .as[Long].collect().toSet
     assert(indexed == withShingles)
+
+    // every index commit is stamped with the band format version — the
+    // cross-format guard reads the NEWEST manifest, so the stamp must
+    // ride every commit, not just the first
+    for (v <- SnapshotTable.versions(idx))
+      assert(SnapshotTable.manifestMeta(idx, v)
+        .contains(s"#band_index_format=${IncrementalDedup.IndexFormat}"), s"v$v unstamped")
+  }
+
+  test("an index committed under a different band format fails fast, not silently") {
+    // r13 folded the band key from a 16-char md5-hex STRING to a 60-bit
+    // LONG; an index persisted before that change would join string bh
+    // against long bh — implicit cast, zero matches, every dup waved
+    // through with no error. The guard turns that silent miss into a
+    // hard failure at the next batch.
+    val batch1 = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter($"doc_id" < 300L)
+    // legacy index: same rows, but committed WITHOUT the format stamp
+    // (what any pre-guard build wrote)
+    val legacy = tmp()
+    SnapshotTable.commit(spark, legacy,
+      graft.operators.TextOps.bandSignatures(batch1), append = true)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(spark, legacy, batch1)
+    }
+    assert(e.getMessage.contains("band_index_format")
+      || e.getMessage.contains("rebuild the index"), e.getMessage)
+    // and a stamped index from THIS build passes the guard on batch 2
+    val fresh = tmp()
+    IncrementalDedup.processBatch(spark, fresh, batch1)
+    IncrementalDedup.processBatch(spark, fresh,
+      Tables.documents(spark, sf).select("doc_id", "text")
+        .filter($"doc_id" >= 300L && $"doc_id" < 600L))
+    assert(SnapshotTable.versions(fresh) == Seq(1L, 2L))
   }
 }

@@ -35,6 +35,21 @@ class TouchedQueriesSpec extends AnyFunSuite {
       Seq("src/main/scala/graft/Tables.scala")) == "ALL")
   }
 
+  test("the ALL/NONE sentinels stay out of the query-name namespace") {
+    // classify() returns its verdict in-band (a comma-joined name list
+    // OR the literal sentinel ALL/NONE); a query actually NAMED "ALL"
+    // or "NONE" would make its single-query verdict indistinguishable
+    // from the sentinel and verify_touched.sh would replay the wrong
+    // board (r13 advisor). Pin the namespace split here so adding such
+    // a name fails a test instead of corrupting the gate.
+    val declared = SparkEntry.queries.keySet
+    assert(!declared.contains("ALL") && !declared.contains("NONE"),
+      "query names ALL/NONE collide with TouchedQueries.classify sentinels")
+    // comma is the list separator — a name containing one would split
+    // into two phantom names downstream
+    assert(declared.forall(!_.contains(",")), declared.filter(_.contains(",")))
+  }
+
   test("build config is ALL, never inert (dependency bumps change results)") {
     assert(TouchedQueries.classify(Seq("build.sbt")) == "ALL")
     assert(TouchedQueries.classify(Seq("project/plugins.sbt")) == "ALL")
