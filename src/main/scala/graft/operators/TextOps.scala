@@ -775,8 +775,13 @@ object TextOps {
   def normalize(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-          " +", " ")).as("clean"),
+        // one-pass native clean, value-identical to
+        // trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]",
+        // ""), " +", " ")) — the regex chain alone was 18.3 s of this
+        // query's 19.2 s at sf10 (two Matcher passes + a String
+        // materialization each over the whole corpus);
+        // NativeExpressionsSpec pins chain-equality incl. unicode
+        graft.functions.NativeExpressions.normalize_text(col("text")).as("clean"),
         // literal replace, not the spark|stream regex: the two words
         // cannot overlap each other (no suffix of either is a prefix of
         // the other), and only the 5→6-char "spark"→"[TOOL]" rewrite
@@ -784,10 +789,12 @@ object TextOps {
         // count — same value, no alternation scan per char
         (length(replace(col("text"), lit("spark"), lit("[TOOL]")))
           - length(col("text"))).as("redact_delta"))
-      // barrier: clean is referenced twice below, and projection
-      // collapse would inline the full two-regex chain into BOTH uses —
-      // the whole normalize pass ran twice per row
-      .localCheckpoint()
+      // no localCheckpoint barrier anymore: `clean` is referenced twice
+      // below and projection collapse inlines it into both uses, but
+      // the native scan is cheap enough that computing it twice beats
+      // materializing the cleaned corpus to local disk (which a 100 TB
+      // run could not do anyway) — the regex chain it replaces DID need
+      // the barrier (38.8 s without vs 19.2 with, measured sf10)
       .select(col("doc_id"),
         substring(col("clean"), 1, 40).as("clean_prefix"),
         length(col("clean")).as("clean_len"),
@@ -1285,11 +1292,23 @@ object TextOps {
     * per doc — the cross-term sum cannot depend on aggregation order,
     * so the oracle hash-matches. */
   def unigramEntropy(s: SparkSession, d: String): DataFrame = {
+    // n_words comes from the histogram (Σc per doc), NOT from a
+    // size(words(text)) sibling of the explode: a non-trivial
+    // expression projected NEXT TO a generator lands in the projection
+    // ABOVE the Generate node and is re-evaluated once per OUTPUT row —
+    // every exploded word re-split the whole document, O(words²) per
+    // doc (measured at sf10: 14.5 s for the explode stage with the
+    // sibling vs 0.6 s without; the shingles() Scaladoc documents the
+    // same trap inside lambdas). Σc over the (doc, word) counts is
+    // value-identical to size(split(text, " ")) — split emits empty
+    // tokens and explode keeps them — so the oracle is unchanged. The
+    // window shuffles the vocabulary-folded histogram once on doc_id,
+    // and the final aggregate reuses that clustering.
     val counts = Tables.documents(s, d)
-      .select(col("doc_id"), size(words(col("text"))).as("n_words"),
-        explode(words(col("text"))).as("word"))
-      .groupBy("doc_id", "n_words", "word")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("c"))
+      .withColumn("n_words", sum("c").over(Window.partitionBy("doc_id")))
     val p = col("c").cast("double") / col("n_words")
     counts
       .select(col("doc_id"), col("n_words"),
@@ -1419,13 +1438,21 @@ object TextOps {
     val k1 = lit(Bm25K1.toDouble); val k1p1 = lit(Bm25K1p1.toDouble)
     val b = lit(Bm25B.toDouble); val bc = lit(Bm25BC.toDouble)
     val docs = Tables.documents(s, d)
-    // dl rides the explode so no per-doc join is needed afterwards
-    val tf = docs
-      .select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"),
-        explode(words(col("text"))).as("w"))
+    // dl from a per-doc aggregate of the exploded stream, NOT a
+    // size(words) sibling of the explode: the sibling form lands above
+    // the Generate and re-splits the text once per OUTPUT token —
+    // O(words²) per doc (the [[unigramEntropy]] finding). count of
+    // exploded tokens ≡ size(split(text, " ")), so dl is
+    // value-identical and the oracle is unchanged. The doc-level dl
+    // table joins back onto the TERM-FILTERED tf rows (tiny by
+    // construction), not the token stream.
+    val ex = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val dl = ex.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = ex
       .filter(col("w").isInCollection(Bm25Terms))
-      .groupBy("doc_id", "dl", "w")
+      .groupBy("doc_id", "w")
       .agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val stats = docs
       .select(size(words(col("text"))).cast("long").as("dl"))

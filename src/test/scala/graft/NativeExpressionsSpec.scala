@@ -89,4 +89,35 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(out(0) == Seq(1.0, 2.0, 3.0))
     assert(out(1) == Seq(4.0, 0.0, 0.0))
   }
+
+  test("normalize_text equals the lower+regex+trim chain it replaces") {
+    val chain = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    // edge shapes: case folds, digit/symbol mixes, space runs at every
+    // position, deletion-created space adjacency, empty / all-deleted
+    // rows, and NON-ASCII rows that must take the exact fallback chain
+    // (including U+212A KELVIN SIGN, whose lowercase lands INSIDE [a-z])
+    val rows = Seq(
+      "Hello, World!", "  a  b  ", "A!B", "a ! b", "a \t b", "", "!!!",
+      "MiXeD 42 CaSe", "trail ", " lead", "a  b   c", "tab\tsep",
+      "café au lait", "Kelvin scale", "İstanbul",
+      "Éclair 9", "snake_case-words", "a.b,c;d:e") ++
+      // pseudo-random ASCII soup (deterministic): every printable class
+      (1 to 50).map(i => (0 until 40).map(j =>
+        (32 + ((i * 131 + j * 37) % 95)).toChar).mkString)
+    val df = rows.toDF("text")
+    val got = df.select(
+      NativeExpressions.normalize_text(col("text")).as("native"),
+      chain(col("text")).as("chain"))
+      .as[(String, String)].collect()
+    got.zip(rows).foreach { case ((n, c), in) =>
+      assert(n == c, s"input=${in.take(60)} native=$n chain=$c")
+    }
+    // and the real corpus column agrees end-to-end
+    val corpus = Tables.documents(spark, sf).select(
+      NativeExpressions.normalize_text(col("text")).as("native"),
+      chain(col("text")).as("chain"))
+      .filter(col("native") =!= col("chain")).count()
+    assert(corpus == 0L)
+  }
 }
