@@ -28,7 +28,12 @@ object TouchedQueries {
     "operators/Relational.scala" -> (() => o.Relational.queries.keySet),
     "operators/ScalarFns.scala" -> (() => o.ScalarFns.queries.keySet),
     "operators/Windows.scala" -> (() => o.Windows.queries.keySet),
-    "operators/TextOps.scala" -> (() => o.TextOps.queries.keySet),
+    // TextOps also feeds GraphOps: the dedup-cc family's persisted
+    // cluster layout is built from TextOps.bandSignatures, so a TextOps
+    // edit can change GraphOps results (the r14 shingles rewrite did
+    // exactly this, value-identically) — map the union, stay fail-safe
+    "operators/TextOps.scala" -> (() =>
+      o.TextOps.queries.keySet ++ o.GraphOps.queries.keySet),
     "operators/IncrementalDedup.scala" -> (() => o.TextOps.queries.keySet),
     "operators/VectorOps.scala" -> (() => o.VectorOps.queries.keySet),
     "operators/Multimodal.scala" -> (() => o.Multimodal.queries.keySet),
