@@ -23,6 +23,15 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // bounded scratch for shuffle spill: the r14 sf100 probe filled the
+    // root disk mid-shuffle (ShuffleExternalSorter ENOSPC) because Spark
+    // defaulted spark.local.dir to /tmp on the system volume. A probe at
+    // big SF points it at a dedicated dir so spill files are attributable
+    // and deletable, and the artifact records headroom next to load/steal.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp/graft-spill")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
+    def diskFreeGb(): Double =
+      math.round(new java.io.File(localDir).getUsableSpace * 10.0 / (1L << 30)) / 10.0
     val spark = SparkSession.builder()
       .master("local[32]")
       // same corpus-scaled count as Bench so probe timings reproduce it;
@@ -30,11 +39,16 @@ object Probe {
       .config("spark.sql.shuffle.partitions",
         sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt)
           .getOrElse(Bench.scaledShufflePartitions(sfDir, 32)))
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val artifactPath = sys.env.get("SPARK_GRAFT_PROBE_OUT")
     val nSamples = sys.env.get("SPARK_GRAFT_PROBE_SAMPLES").map(_.toInt).getOrElse(2)
+    // fail fast on misconfiguration: 0/negative would only surface as
+    // ss.min throwing AFTER every warm run had executed (r14 advisor)
+    require(nSamples >= 1,
+      s"SPARK_GRAFT_PROBE_SAMPLES must be >= 1, got $nSamples")
     def loadavg(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
@@ -50,9 +64,15 @@ object Probe {
     // multi-query probe otherwise accretes earlier queries' cached
     // state into later ones' memory budget (llm_bigrams read 36 s in
     // an 8-query probe chain vs ~22 s in the Bench sweep, r13)
-    def quiesce(): Unit =
+    def quiesce(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // nudge the ContextCleaner: shuffle files of dereferenced plans
+      // are only deleted once the JVM GCs the shuffle handles — at
+      // sf100 a 10-query chain otherwise accretes tens of GB of dead
+      // spill in spark.local.dir between queries (r14 ENOSPC crash)
+      System.gc()
+    }
     // warm (uncounted) + nSamples timed runs; returns every sample
     def run(name: String): Seq[Double] = {
       val fn = SparkEntry.queries(name)
@@ -68,6 +88,7 @@ object Probe {
       }
     }
     val loadBefore = loadavg()
+    val diskBefore = diskFreeGb()
     val (steal0, jif0) = cpuJiffies()
     // "logical:<name>" prints the optimized logical plan (what
     // ProjectionLintSpec sweeps) instead of timing + physical plan
@@ -76,6 +97,20 @@ object Probe {
         val name = n.stripPrefix("logical:")
         println(SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.optimizedPlan.treeString)
+        None
+      // "finalplan:<name>" executes the query ONCE through its own
+      // QueryExecution (foreachPartition, not a noop write — the write
+      // would attach the adaptive plan to a separate execution) and
+      // prints the FINAL adaptive physical plan: the join strategies
+      // AQE actually chose at this SF, not the static planner guess.
+      // The instrument for broadcast-threshold adjudications (r14
+      // verdict task 2: which perplexity_held join grew at sf100).
+      case n if n.startsWith("finalplan:") =>
+        val name = n.stripPrefix("finalplan:")
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        println(df.queryExecution.executedPlan.treeString)
+        quiesce()
         None
       case name =>
         val samples = run(name)
@@ -87,6 +122,7 @@ object Probe {
         Some(name -> samples)
     }
     val loadAfter = loadavg()
+    val diskAfter = diskFreeGb()
     val (steal1, jif1) = cpuJiffies()
     val stealPct =
       if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
@@ -105,6 +141,7 @@ object Probe {
         s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
         s""""heap_gib":$heapGb,""" +
         s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
+        s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":"$localDir"},""" +
         s""""queries":$qj,"samples":$sj,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -70,9 +70,12 @@ object IncrementalDedup {
     * meaningful (arrival order IS the id order in an ingest pipeline). */
   def processBatch(spark: SparkSession, indexTable: String,
       batch: DataFrame): DataFrame = {
-    val bands = TextOps.bandSignatures(batch).localCheckpoint()
+    // format guard FIRST: localCheckpoint is eager, so computing the
+    // batch's signatures before the check would pay the full minhash
+    // cost only to be rejected on a legacy index (r14 advisor)
     val indexVersion = SnapshotTable.currentVersion(indexTable)
     if (indexVersion > 0) requireFormat(indexTable, indexVersion)
+    val bands = TextOps.bandSignatures(batch).localCheckpoint()
     val seenBefore =
       if (indexVersion > 0)
         bands.join(SnapshotTable.read(spark, indexTable),

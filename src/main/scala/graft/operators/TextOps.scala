@@ -1308,7 +1308,11 @@ object TextOps {
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("c"))
-      .withColumn("n_words", sum("c").over(Window.partitionBy("doc_id")))
+      // cast back to int: Σc is mathematically size(split(text," ")) which
+      // the prior shape emitted as INT — the window sum would otherwise
+      // silently widen the consumer-visible column to BIGINT (r14 advisor)
+      .withColumn("n_words",
+        sum("c").over(Window.partitionBy("doc_id")).cast("int"))
     val p = col("c").cast("double") / col("n_words")
     counts
       .select(col("doc_id"), col("n_words"),
