@@ -90,6 +90,34 @@ object Probe {
     val loadBefore = loadavg()
     val diskBefore = diskFreeGb()
     val (steal0, jif0) = cpuJiffies()
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    def writeArtifact(partial: Boolean): Unit = artifactPath.foreach { p =>
+      val loadAfter = loadavg()
+      val diskAfter = diskFreeGb()
+      val (steal1, jif1) = cpuJiffies()
+      val stealPct =
+        if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
+        else -1.0
+      val heapGb = math.round(Runtime.getRuntime.maxMemory * 10.0 / (1L << 30)) / 10.0
+      val sorted = done.sortBy(_._1)
+      val qj = sorted.map { case (n, ss) => s"\"$n\":${ss.min}" }
+        .mkString("{", ",", "}")
+      val sj = sorted.map { case (n, ss) =>
+        s"\"$n\":[" + ss.map(t =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+          .mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val line = s"""{"metric":"probe_isolated","unit":"sec","samples_per_query":$nSamples,""" +
+        (if (partial) s""""partial":true,""" else "") +
+        s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+        s""""heap_gib":$heapGb,""" +
+        s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
+        s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":"$localDir"},""" +
+        s""""queries":$qj,"samples":$sj,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (!partial) { System.err.println(s"[probe] artifact -> $p"); println(line) }
+    }
     // "logical:<name>" prints the optimized logical plan (what
     // ProjectionLintSpec sweeps) instead of timing + physical plan
     val timed = args.drop(1).flatMap {
@@ -119,35 +147,17 @@ object Probe {
         // stays readable
         if (artifactPath.isEmpty)
           SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        // write the artifact AFTER EVERY query, not once at the end: the
+        // r14 sf100 probe died on ENOSPC at query 7 of 10 and took all
+        // six completed readings with it — a crash must only lose the
+        // in-flight query. partial:true marks an in-progress snapshot;
+        // the final write (below, after the loop) clears it.
+        done += (name -> samples)
+        writeArtifact(partial = true)
         Some(name -> samples)
     }
-    val loadAfter = loadavg()
-    val diskAfter = diskFreeGb()
-    val (steal1, jif1) = cpuJiffies()
-    val stealPct =
-      if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
-      else -1.0
-    artifactPath.foreach { p =>
-      val heapGb = math.round(Runtime.getRuntime.maxMemory * 10.0 / (1L << 30)) / 10.0
-      val qj = timed.sortBy(_._1).map { case (n, ss) =>
-        s"\"$n\":${ss.min}"
-      }.mkString("{", ",", "}")
-      val sj = timed.sortBy(_._1).map { case (n, ss) =>
-        s"\"$n\":[" + ss.map(t =>
-          String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-          .mkString(",") + "]"
-      }.mkString("{", ",", "}")
-      val line = s"""{"metric":"probe_isolated","unit":"sec","samples_per_query":$nSamples,""" +
-        s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
-        s""""heap_gib":$heapGb,""" +
-        s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
-        s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":"$localDir"},""" +
-        s""""queries":$qj,"samples":$sj,"sf":"$sfDir"}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[probe] artifact -> $p")
-      println(line)
-    }
+    assert(timed.sizeIs == done.size) // every timed query reached the artifact
+    writeArtifact(partial = false)
     spark.stop()
   }
 }

@@ -981,31 +981,37 @@ object VectorOps {
     * nothing else changes. Hash-checked ([[semDedupTrainedOracle]]
     * swaps the Lloyd-fit centroids into the seeded oracle's pair
     * logic); VectorOpsSpec holds it to the same min-id-survives /
-    * in-cell-witness invariants as the seeded form. */
+    * in-cell-witness invariants as the seeded form.
+    *
+    * Scale shape (r15): past [[TwoLevelFloor]] the query reads the
+    * layout's STORED assignment (`corpus/`, partitioned by cell)
+    * instead of re-assigning the corpus against the stored centroids —
+    * [[annIvfTrained]]'s pure-probe contract. The two are bit-identical
+    * by construction: the build writes `fineAssign(kmeansAssign(emb,
+    * coarseCents), fineCents)` with the SAME centroid tables the query
+    * would read back (parquet round-trips floats exactly; both argmins
+    * are deterministic per-row expressions), so the r14 query-time
+    * recompute was O(n·√k) — with k ∝ n that's O(n^1.5), the measured
+    * 21×-on-10×-data growth at sf100 — paid per query for rows the
+    * build had already written. The kf = 1 (small-SF) path KEEPS the
+    * recompute: the flat build stores the 3rd-iteration assignment but
+    * its centroid table is the post-update fit, so the stored rows are
+    * NOT the assignment-under-stored-centroids this query's oracle
+    * replays (annIvfTrained's oracle replays the stored c3/a2 split on
+    * purpose; semDedup's replays assign-under-final-centroids). */
   def semDedupTrained(s: SparkSession, d: String): DataFrame = {
     val k = semDedupK(s, d)
     val kf = fineCellCount(k)
     val layout = ensureSemDedupLayout(s, d)
-    val cents = s.read.parquet(s"$layout/centroids")
-    val emb = Tables.embeddings(s, d)
     val assigned =
-      if (kf == 1)
-        kmeansAssign(emb, cents)
+      if (kf == 1) {
+        val cents = s.read.parquet(s"$layout/centroids")
+        kmeansAssign(Tables.embeddings(s, d), cents)
           .select(col("vec_id"), col("cell"), col("embedding"))
-      else {
-        // two-level probe of the hierarchical layout: coarse argmin
-        // against the c3 centroids, then fine argmin against the
-        // vector's own cell's kf trained fine centroids — O(n·√k)
-        // query-time assignment, same composite cell ids as the build
-        val fineCents = s.read.parquet(s"$layout/fine_centroids")
-        fineAssign(
-          kmeansAssign(emb, cents)
-            .select(col("vec_id"), col("embedding"), col("cell").as("ccell")),
-          fineCents)
-          .select(col("vec_id"),
-            (col("ccell") * kf + col("fcell")).cast("int").as("cell"),
+      } else
+        s.read.parquet(s"$layout/corpus")
+          .select(col("vec_id"), col("cell").cast("int").as("cell"),
             col("embedding"))
-      }
     semDedupPairs(assigned)
   }
 
