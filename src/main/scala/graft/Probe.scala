@@ -32,7 +32,7 @@ object Probe {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
     def diskFreeGb(): Double =
       math.round(new java.io.File(localDir).getUsableSpace * 10.0 / (1L << 30)) / 10.0
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       // same corpus-scaled count as Bench so probe timings reproduce it;
       // SPARK_GRAFT_PARTS overrides for partition-count bisection
@@ -41,7 +41,18 @@ object Probe {
           .getOrElse(Bench.scaledShufflePartitions(sfDir, 32)))
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for one-off
+    // probes, e.g. spark.io.compression.codec=zstd when a query's live
+    // shuffle exceeds the single-box disk under lz4 (skew_salted_join
+    // at sf100 spills >50 GiB against ~51 GiB sandbox headroom; zstd is
+    // a measurement-environment lever, the query is untouched). Any
+    // override is recorded in the artifact so the reading carries its
+    // provenance.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) }
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) =>
+      b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val artifactPath = sys.env.get("SPARK_GRAFT_PROBE_OUT")
     val nSamples = sys.env.get("SPARK_GRAFT_PROBE_SAMPLES").map(_.toInt).getOrElse(2)
@@ -107,8 +118,11 @@ object Probe {
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
           .mkString(",") + "]"
       }.mkString("{", ",", "}")
+      val confJ = extraConf.map { case (k, v) => s"\"$k\":\"$v\"" }
+        .mkString("{", ",", "}")
       val line = s"""{"metric":"probe_isolated","unit":"sec","samples_per_query":$nSamples,""" +
         (if (partial) s""""partial":true,""" else "") +
+        (if (extraConf.nonEmpty) s""""extra_conf":$confJ,""" else "") +
         s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
         s""""heap_gib":$heapGb,""" +
         s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
