@@ -13,6 +13,17 @@ class PlanSpec extends SparkSpec {
   private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The physical plan with a top-level AdaptiveSparkPlanExec unwrapped:
+    * `collect`/`collectLeaves` don't traverse INTO the adaptive node (its
+    * inner plan is not a child), so tree-shape assertions must run on the
+    * inner plan, not the wrapper. */
+  private def physical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
   test("filter_pred: predicates are pushed to the parquet scan") {
     val plan = executedPlan(Relational.filterPred(spark, sf))
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
@@ -202,10 +213,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 4, plan.take(2000))
   }
 
-  test("sql_q21: EXISTS and NOT EXISTS lower to semi and anti joins") {
-    val plan = executedPlan(SqlQueries.queries("sql_q21")(spark, sf))
-    assert(plan.contains("LeftSemi"), plan.take(2000))
-    assert(plan.contains("LeftAnti"), plan.take(2000))
+  test("sql_q21: aggregate rewrite — one lineitem pass, no self semi/anti joins") {
+    val df = SqlQueries.queries("sql_q21")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the r15-adjudicated failure mode was the decorrelated EXISTS /
+    // NOT-EXISTS form: semi+anti SELF-joins carrying three full
+    // lineitem passes through the shuffle (>48 GiB live at sf100).
+    // The rewrite must show neither join type and exactly ONE scan of
+    // the fact table — the per-supplier and per-order aggregates then
+    // reuse the lineitem⋈orders partitioning on the order key.
+    assert(!plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("LeftAnti"), plan.take(2000))
+    val lineitemScans = physical(df).collectLeaves()
+      .count(_.toString.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, got $lineitemScans")
   }
 
   test("sql_q15: uncorrelated scalar subquery evaluates once, not per row") {
@@ -233,18 +254,32 @@ class PlanSpec extends SparkSpec {
     // the whole point of SymSpell blocking is an equi-join on (hashed)
     // deletion keys; a cartesian/nested-loop here means the blocking
     // key was lost and the plan re-became the all-pairs scan that dies
-    // at 100 TB. It must also NOT broadcast (both sides are the
-    // corpus×keys expansion — 3× slower at sf0.1, impossible at
-    // 100 TB) and NOT shuffle-hash (unspillable build map — OOM'd the
-    // sf10 smoke run): sort-merge is the spill-safe shape. (A join-free
-    // grouped-lambda variant measured 54.6 s vs 35.0 at sf10 in r12 —
-    // interpreted HOF lambdas lose to the codegen'd join; see
-    // TextOps.fuzzyJoin.)
+    // at 100 TB.
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("NestedLoop"), plan.take(3000))
-    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
-    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
-    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // the CANDIDATE join (on the hashed deletion key "kh") must be
+    // sort-merge specifically: not broadcast (both sides are the
+    // corpus×keys expansion — 3× slower at sf0.1, impossible at
+    // 100 TB) and not shuffle-hash (unspillable build map — OOM'd the
+    // sf10 smoke run); sort-merge spills. The r16 name fetch-back
+    // joins (pair set × raw table on the 8-byte id) are FREE to
+    // broadcast — assert join strategy per join key, not globally.
+    // (A join-free grouped-lambda variant measured 54.6 s vs 35.0 at
+    // sf10 in r12 — interpreted HOF lambdas lose to the codegen'd
+    // join; see TextOps.fuzzyJoin.)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val exec = physical(df)
+    def keyNames(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[String] =
+      keys.flatMap(_.references.map(_.name))
+    val smjOnKh = exec.collect {
+      case j: SortMergeJoinExec if keyNames(j.leftKeys).contains("kh") => j
+    }
+    assert(smjOnKh.nonEmpty, plan.take(3000))
+    val hashJoinOnKh = exec.collect {
+      case j: BroadcastHashJoinExec if keyNames(j.leftKeys).contains("kh") => j
+      case j: ShuffledHashJoinExec if keyNames(j.leftKeys).contains("kh") => j
+    }
+    assert(hashJoinOnKh.isEmpty, plan.take(3000))
   }
 
   test("entry smoke: flagship query returns rows") {
