@@ -191,7 +191,75 @@ object Bench {
     // comparable round-over-round. GiB scaling (1<<30), not decimal 1e9:
     // -Xmx8g must read back 8.0, not 8.6 (the r12 artifact's unit slip)
     val heapGb = math.round(Runtime.getRuntime.maxMemory * 10.0 / (1L << 30)) / 10.0
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"heap_gib":$heapGb,"load":$loadJson,"cc_obs_misses":$missJson,"remeasured":$remeasuredJson,"samples":$samplesJson,"queries":${toJson(times)},"sf":"$sfDir"}"""
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // ---- _meta provenance (r15 verdict task 4): the artifact names the
+    // exact tree it measured, so a byte-identical refresh still changes
+    // the file and self-certifies — "which code produced this number" is
+    // a field, not a git-archaeology exercise.
+    def git(cmd: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(("git" +: cmd): _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val gitSha = git("rev-parse", "--short", "HEAD").getOrElse("unknown")
+    val tree = git("status", "--porcelain")
+      .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown")
+    val utc = java.time.Instant.now().toString
+    val roundJ = sys.env.get("SPARK_GRAFT_ROUND").map(jstr).getOrElse("null")
+    val metaJson =
+      s"""{"git_sha":${jstr(gitSha)},"tree":${jstr(tree)},"utc":${jstr(utc)},"round":$roundJ}"""
+    // ---- round-over-round regression floor (r15 verdict task 3): the
+    // "zero regressions" claim is computed by the instrument against the
+    // previous round's committed artifact — explicit rule, checkable
+    // field, never prose. Base = SPARK_GRAFT_PREV_BENCH if set, else the
+    // highest-round bench_rN_<sf>.json in cwd that is not THIS round's.
+    val curRound = sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(r => "\\d+".r.findFirstIn(r)).map(_.toInt)
+    val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+      val re = ("bench_r(\\d+)_" + java.util.regex.Pattern.quote(sfName) +
+        "\\.json").r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(_.getName match {
+          case re(n) => Some((n.toInt, s"bench_r${n}_$sfName.json"))
+          case _ => None
+        })
+        .filter(c => !curRound.contains(c._1))
+        .sortBy(-_._1).headOption.map(_._2)
+    }
+    val prevTimes: Map[String, Double] = prevPath.map { p =>
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p))
+        val q = node.get("queries")
+        if (q == null) Map.empty[String, Double]
+        else {
+          import scala.jdk.CollectionConverters._
+          q.fieldNames().asScala.map(n => n -> q.get(n).asDouble()).toMap
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] cannot read regression base $p: $e")
+          Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
+    // >1.3× AND >1 s: multiplicative floor keeps sub-second jitter out,
+    // additive floor keeps a 0.2→0.3 s row from reading as a regression
+    val regressionRows = times
+      .flatMap { case (n, cur) =>
+        prevTimes.get(n).collect {
+          case prev if prev > 0 && cur > 0 && cur > 1.3 * prev && cur - prev > 1.0 =>
+            s"""{"q":${jstr(n)},"prev":$prev,"cur":$cur}"""
+        }
+      }.sorted
+    val regressionsJson =
+      s"""{"base":${prevPath.map(jstr).getOrElse("null")},""" +
+        s""""rule":"cur > 1.3*prev AND cur-prev > 1.0s",""" +
+        s""""rows":${regressionRows.mkString("[", ",", "]")}}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"heap_gib":$heapGb,"_meta":$metaJson,"regressions":$regressionsJson,"load":$loadJson,"cc_obs_misses":$missJson,"remeasured":$remeasuredJson,"samples":$samplesJson,"queries":${toJson(times)},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"bench_$sfName.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // round-tagged self-contained copy: three rounds of driver-side
@@ -209,7 +277,7 @@ object Bench {
     // slowest of the rest — the headline numbers a reader compares first
     val headline = times.filter(_._1.startsWith("sql_")) ++
       times.filterNot(_._1.startsWith("sql_")).sortBy(-_._2).take(10)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"load":$loadJson,"detail":"bench_$sfName.json","queries":${toJson(headline)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"n_regressions":${regressionRows.size},"load":$loadJson,"detail":"bench_$sfName.json","queries":${toJson(headline)},"sf":${jstr(sfDir)}}"""
     spark.stop()
     // last stdout line of the run — nothing may print after it. The
     // line is ALSO echoed via stderr first (sbt re-logs a forked JVM's

@@ -47,10 +47,19 @@ object Probe {
     // at sf100 spills >50 GiB against ~51 GiB sandbox headroom; zstd is
     // a measurement-environment lever, the query is untouched). Any
     // override is recorded in the artifact so the reading carries its
-    // provenance.
+    // provenance. ';' is the entry separator and cannot appear inside a
+    // value; malformed entries FAIL FAST (r15 advisor: a '=v' entry
+    // used to set an empty-key conf that only errored at session start,
+    // and a bad entry silently dropped is a probe run with the wrong
+    // config whose artifact looks clean).
     val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).filter(_.contains("="))
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) }
+      .flatMap(_.split(";")).filter(_.trim.nonEmpty)
+      .map { kv =>
+        require(kv.contains("=") && kv.split("=", 2)(0).trim.nonEmpty,
+          s"SPARK_GRAFT_CONF entry '$kv' is not k=v with a non-empty key " +
+            "(';' separates entries and cannot appear inside a value)")
+        val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+      }
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) =>
       b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -118,7 +127,12 @@ object Probe {
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
           .mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val confJ = extraConf.map { case (k, v) => s"\"$k\":\"$v\"" }
+      // every environment-sourced string is escaped on the way into the
+      // artifact (r15 advisor: a quote or backslash in a conf value,
+      // local dir, or sf path produced an unparseable JSON file)
+      def jstr(s: String): String =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val confJ = extraConf.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
       val line = s"""{"metric":"probe_isolated","unit":"sec","samples_per_query":$nSamples,""" +
         (if (partial) s""""partial":true,""" else "") +
@@ -126,15 +140,23 @@ object Probe {
         s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
         s""""heap_gib":$heapGb,""" +
         s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
-        s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":"$localDir"},""" +
-        s""""queries":$qj,"samples":$sj,"sf":"$sfDir"}"""
+        s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":${jstr(localDir)}},""" +
+        s""""queries":$qj,"samples":$sj,"sf":${jstr(sfDir)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (!partial) { System.err.println(s"[probe] artifact -> $p"); println(line) }
     }
+    // a repeated query name would emit a duplicate key into the
+    // artifact's queries/samples objects, which JSON parsers resolve
+    // inconsistently (r15 advisor) — de-duplicate order-preservingly
+    // and say so, rather than time the same query twice
+    val argQueries = args.drop(1).distinct
+    if (argQueries.size < args.drop(1).size)
+      System.err.println("[probe] duplicate query names in args de-duplicated: " +
+        args.drop(1).diff(argQueries).mkString(", "))
     // "logical:<name>" prints the optimized logical plan (what
     // ProjectionLintSpec sweeps) instead of timing + physical plan
-    val timed = args.drop(1).flatMap {
+    val timed = argQueries.flatMap {
       case n if n.startsWith("logical:") =>
         val name = n.stripPrefix("logical:")
         println(SparkEntry.queries(name)(spark, sfDir)

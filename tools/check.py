@@ -170,10 +170,34 @@ def main(out_dir, sf_dir):
         else:
             universe = set(oracles)
         missing = sorted(universe - set(names))
+        # _meta is stamped on EVERY board, full or partial (r15 verdict
+        # task 4): git sha + tree state + UTC make a byte-identical
+        # replay still change the file and self-certify which code it
+        # verified — full boards used to carry no provenance at all.
+        import subprocess
+        import datetime
+
+        def _git(*args):
+            try:
+                r = subprocess.run(["git", *args], capture_output=True,
+                                   text=True, timeout=10)
+                return r.stdout.strip() if r.returncode == 0 else None
+            except Exception:
+                return None
+        st = _git("status", "--porcelain")
+        art["_meta"] = {
+            "git_sha": _git("rev-parse", "--short", "HEAD") or "unknown",
+            "tree": "unknown" if st is None else ("dirty" if st else "clean"),
+            "utc": datetime.datetime.now(datetime.timezone.utc)
+                   .isoformat(timespec="seconds"),
+            "sf": sf_dir,
+        }
+        if banded:
+            art["_meta"]["banded_oracles"] = sorted(banded)
         if missing:
-            art["_meta"] = {"partial": True, "checked": len(names),
-                            "not_checked": len(missing),
-                            "queries": sorted(names)}
+            art["_meta"].update({"partial": True, "checked": len(names),
+                                 "not_checked": len(missing),
+                                 "queries": sorted(names)})
         for name, n in ok:
             art[name] = {"rows_match": True, "schema_match": True,
                          "hash_match": True, "spark_rows": n,
