@@ -9,22 +9,46 @@ object Bench {
     * so small SFs keep their historical parallelism, capped at 2048;
     * AQE partition coalescing (on by default) shrinks the small
     * shuffles back, so the higher count only costs where it pays. */
-  def scaledShufflePartitions(sfDir: String, cpus: Int): Int = {
+  def scaledShufflePartitions(sfDir: String, cpus: Int): Int =
+    math.min(2048L, math.max(cpus.toLong, dirBytes(sfDir) / (4L << 20))).toInt
+
+  private def dirBytes(sfDir: String): Long = {
     def sizeOf(f: java.io.File): Long =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
       else f.length()
-    val bytes = sizeOf(new java.io.File(sfDir))
-    math.min(2048L, math.max(cpus.toLong, bytes / (4L << 20))).toInt
+    sizeOf(new java.io.File(sfDir))
   }
+
+  /** Shuffle/spill compression codec scaled to the corpus, like the
+    * partition count: lz4 (Spark's default — fastest when the shuffle
+    * fits) below 1 GiB of input parquet, zstd at or above it. Measured
+    * both ways on one box (r16): at sf10 zstd was FASTER on all three
+    * spill-heavy rows (skew_salted_join 24.2→21.3 s, llm_fuzzy_join
+    * 23.9→21.8 s, sql_q21 7.6→6.9 s; probe_r16_sf10.json vs
+    * probe_r16_sf10_zstd.json) with a ~4× smaller scratch dip (1.0 vs
+    * 3.8 GiB). At sf100 the tradeoff inverts on pure time for the
+    * biggest sorter — llm_fuzzy_join read 272.8 s lz4 vs 295.0 s zstd
+    * (+8%) — but lz4's scratch dip was 2× (14.5 vs 7.6 GiB), and the
+    * largest shuffle on the board (skew_salted_join, >50 GiB live
+    * under lz4) can only COMPLETE under zstd on this disk (r15
+    * ENOSPC adjudication). Completion safety and per-node disk
+    * headroom win at the scales where the codec matters; the ≤8%
+    * time cost on disk-bound rows is the recorded price. Both mains
+    * record the choice in their artifact; SPARK_GRAFT_CONF overrides
+    * it in Probe. */
+  def scaledCodec(sfDir: String): String =
+    if (dirBytes(sfDir) >= (1L << 30)) "zstd" else "lz4"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shufflePartitions = scaledShufflePartitions(sfDir, cpus.toInt)
+    val codec = scaledCodec(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.io.compression.codec", codec)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -259,7 +283,7 @@ object Bench {
       s"""{"base":${prevPath.map(jstr).getOrElse("null")},""" +
         s""""rule":"cur > 1.3*prev AND cur-prev > 1.0s",""" +
         s""""rows":${regressionRows.mkString("[", ",", "]")}}"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"heap_gib":$heapGb,"_meta":$metaJson,"regressions":$regressionsJson,"load":$loadJson,"cc_obs_misses":$missJson,"remeasured":$remeasuredJson,"samples":$samplesJson,"queries":${toJson(times)},"sf":${jstr(sfDir)}}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"codec":${jstr(codec)},"heap_gib":$heapGb,"_meta":$metaJson,"regressions":$regressionsJson,"load":$loadJson,"cc_obs_misses":$missJson,"remeasured":$remeasuredJson,"samples":$samplesJson,"queries":${toJson(times)},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"bench_$sfName.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // round-tagged self-contained copy: three rounds of driver-side

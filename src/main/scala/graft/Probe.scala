@@ -40,6 +40,11 @@ object Probe {
         sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt)
           .getOrElse(Bench.scaledShufflePartitions(sfDir, 32)))
       .config("spark.local.dir", localDir)
+      // corpus-scaled codec, same rule as Bench (zstd at ≥1 GiB input —
+      // measured faster AND ~4× less spill on the sf10 heavy rows, and
+      // required to fit sf100's biggest shuffles on one disk); set
+      // before the SPARK_GRAFT_CONF fold so an explicit entry overrides
+      .config("spark.io.compression.codec", Bench.scaledCodec(sfDir))
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for one-off
     // probes, e.g. spark.io.compression.codec=zstd when a query's live
@@ -138,6 +143,7 @@ object Probe {
         (if (partial) s""""partial":true,""" else "") +
         (if (extraConf.nonEmpty) s""""extra_conf":$confJ,""" else "") +
         s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+        s""""codec":${jstr(spark.conf.get("spark.io.compression.codec"))},""" +
         s""""heap_gib":$heapGb,""" +
         s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
         s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":${jstr(localDir)}},""" +

@@ -1607,12 +1607,22 @@ object TextOps {
   /** Edit-distance-≤1 fuzzy self-join over customer names WITHOUT the
     * O(n²) cross join: explode each name into its ~(len+1) deletion
     * keys, equi-join on the key, then verify candidates with exact
-    * `levenshtein`. The shuffle carries (8-byte id, 8-byte key hash,
-    * 4-byte pos) rows — linear in input × key-count, never quadratic —
-    * and the candidate list per key is a handful of rows, so this
-    * holds at 100 TB where a cross join is impossible (names are
-    * fetched back by id at pair cardinality, r16 — see the inline
-    * note). The oracle runs the exhaustive O(n²)
+    * `levenshtein`. The shuffle carries (19-byte key, name) pairs —
+    * linear in input × key-count, never quadratic — and the candidate
+    * list per key is a handful of rows, so this holds at 100 TB where
+    * a cross join is impossible. Names ride the expansion ON PURPOSE —
+    * an id-keyed variant (carry (8-byte id, key hash, pos) through the
+    * merge join, fetch both name columns back by id after the position
+    * filter + distinct) was built and measured in r16: 333.1 s vs this
+    * shape's 295.0 s at sf100 under the zstd default, and it SPILLED
+    * MORE (9.2 vs 7.6 GiB scratch dip) — zstd had already compressed
+    * the repetitive name payload to near-free, so the two extra
+    * pair-cardinality fetch-back joins were pure cost
+    * (probe_r16b_sf100.json vs probe_r16_sf100_fuzzy_oldshape.json,
+    * same box, clean windows; r15's 38 GiB lz4 spill reading is what
+    * motivated the attempt). The floor is the merge-sort of the
+    * expansion plus the global output sort, not shuffle payload bytes.
+    * The oracle runs the exhaustive O(n²)
     * scan in DuckDB: a hash-identical result PROVES the blocking
     * missed nothing (recall == exhaustive, not asserted but checked).
     *
@@ -1648,38 +1658,17 @@ object TextOps {
     * verify re-becomes the O(n²) scan — prefix keys only help when
     * prefixes are discriminative. */
   def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
-    // r16 payload cut: the del-1 expansion is ~(len+1)× the corpus on
-    // BOTH merge-join sides, so every byte it carries is multiplied
-    // ~19× through the sort+shuffle. Carry only (8-byte row id, 8-byte
-    // key hash, 4-byte pos) — the ~26-byte names rode along in r15 and
-    // were half the 38 GiB sf100 spill — and fetch the two name columns
-    // back AFTER the position filter + distinct, at un-exploded pair
-    // cardinality. c_custkey is the row id (1:1 with c_name at every
-    // SF — duplicate names would double-emit a pair here where the
-    // name-level distinct collapsed it, so the 1:1 is load-bearing and
-    // the oracle gate would catch a violation).
-    val named = Tables.customer(s, d)
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    val keyed = named
-      .select(col("id"), explode(del1PosKeys(col("name"))).as("pk"))
-      .select(col("id"), xxhash64(col("pk.k")).as("kh"), col("pk.pos").as("pos"))
-    val a = keyed.select(col("id").as("id_a"), col("kh"), col("pos").as("pos_a"))
-    val b = keyed.select(col("id").as("id_b"), col("kh"), col("pos").as("pos_b"))
-    val pairs = a.hint("merge").join(b, "kh")
-      .where(col("id_a") < col("id_b") &&
+    val keyed = Tables.customer(s, d)
+      .select(col("c_name").as("name"))
+      .select(col("name"), explode(del1PosKeys(col("name"))).as("pk"))
+      .select(col("name"), xxhash64(col("pk.k")).as("kh"), col("pk.pos").as("pos"))
+    val a = keyed.select(col("name").as("name_a"), col("kh"), col("pos").as("pos_a"))
+    val b = keyed.select(col("name").as("name_b"), col("kh"), col("pos").as("pos_b"))
+    a.hint("merge").join(b, "kh")
+      .where(col("name_a") < col("name_b") &&
         (col("pos_a") === col("pos_b") ||
           col("pos_a") === -1 || col("pos_b") === -1))
-      .select("id_a", "id_b").distinct()
-    // name fetch-back: two equi-joins of the pair set against the raw
-    // table on the 8-byte id (AQE broadcasts whichever side is small at
-    // the SF in hand; both shapes beat sorting names inside the
-    // expansion). least/greatest re-orients to name order — id order
-    // happens to agree for zero-padded names, but is not relied on.
-    pairs
-      .join(named.select(col("id").as("id_a"), col("name").as("n_a")), "id_a")
-      .join(named.select(col("id").as("id_b"), col("name").as("n_b")), "id_b")
-      .select(least(col("n_a"), col("n_b")).as("name_a"),
-        greatest(col("n_a"), col("n_b")).as("name_b"))
+      .select("name_a", "name_b").distinct()
       .where(levenshtein(col("name_a"), col("name_b"), 1) >= 0)
       .orderBy("name_a", "name_b")
   }

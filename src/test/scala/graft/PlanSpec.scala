@@ -261,12 +261,13 @@ class PlanSpec extends SparkSpec {
     // sort-merge specifically: not broadcast (both sides are the
     // corpus×keys expansion — 3× slower at sf0.1, impossible at
     // 100 TB) and not shuffle-hash (unspillable build map — OOM'd the
-    // sf10 smoke run); sort-merge spills. The r16 name fetch-back
-    // joins (pair set × raw table on the 8-byte id) are FREE to
-    // broadcast — assert join strategy per join key, not globally.
-    // (A join-free grouped-lambda variant measured 54.6 s vs 35.0 at
-    // sf10 in r12 — interpreted HOF lambdas lose to the codegen'd
-    // join; see TextOps.fuzzyJoin.)
+    // sf10 smoke run); sort-merge spills. Asserted PER JOIN KEY, not
+    // globally: the shape is free to add auxiliary joins on other keys
+    // (the r16 id-keyed fetch-back experiment did — measured slower,
+    // reverted, see TextOps.fuzzyJoin's Scaladoc) as long as the kh
+    // candidate join stays sort-merge. (A join-free grouped-lambda
+    // variant measured 54.6 s vs 35.0 at sf10 in r12 — interpreted HOF
+    // lambdas lose to the codegen'd join; see TextOps.fuzzyJoin.)
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
     val exec = physical(df)
     def keyNames(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[String] =
