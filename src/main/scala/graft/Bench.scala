@@ -21,22 +21,32 @@ object Bench {
   }
 
   /** Shuffle/spill compression codec scaled to the corpus, like the
-    * partition count: lz4 (Spark's default — fastest when the shuffle
-    * fits) below 1 GiB of input parquet, zstd at or above it. Measured
-    * both ways on one box (r16): at sf10 zstd was FASTER on all three
-    * spill-heavy rows (skew_salted_join 24.2→21.3 s, llm_fuzzy_join
-    * 23.9→21.8 s, sql_q21 7.6→6.9 s; probe_r16_sf10.json vs
-    * probe_r16_sf10_zstd.json) with a ~4× smaller scratch dip (1.0 vs
-    * 3.8 GiB). At sf100 the tradeoff inverts on pure time for the
-    * biggest sorter — llm_fuzzy_join read 272.8 s lz4 vs 295.0 s zstd
-    * (+8%) — but lz4's scratch dip was 2× (14.5 vs 7.6 GiB), and the
-    * largest shuffle on the board (skew_salted_join, >50 GiB live
-    * under lz4) can only COMPLETE under zstd on this disk (r15
-    * ENOSPC adjudication). Completion safety and per-node disk
-    * headroom win at the scales where the codec matters; the ≤8%
-    * time cost on disk-bound rows is the recorded price. Both mains
-    * record the choice in their artifact; SPARK_GRAFT_CONF overrides
-    * it in Probe. */
+    * partition count: lz4 (Spark's default — cheapest CPU when the
+    * shuffle fits) below 1 GiB of input parquet, zstd at or above
+    * (sf10 here). Adjudicated with same-box measurements on three
+    * instruments (r16):
+    *
+    *  - isolated spill-heavy rows at sf10, clean windows: zstd faster
+    *    on all three (skew_salted_join 24.2→21.3 s, llm_fuzzy_join
+    *    23.9→21.8 s, sql_q21 7.6→6.9 s; probe_r16_sf10.json vs
+    *    probe_r16_sf10_zstd.json) with a ~4× smaller scratch dip.
+    *  - full 199-query board at sf10: zstd 720.9 s at steal 0.16% vs
+    *    lz4 751.3 s at steal 2.51% (bench_r16_sf10.json vs
+    *    bench_r16_sf10_lz4.json) — a wash once the lz4 sweep's dirtier
+    *    window is priced in; light-shuffle rows pay zstd a little,
+    *    heavy rows get it back.
+    *  - sf100: llm_fuzzy_join +8% under zstd (295.0 vs 272.8 s) but
+    *    HALF the scratch dip (7.6 vs 14.5 GiB,
+    *    probe_r16_sf100_fuzzy_*.json), and the board's biggest shuffle
+    *    (skew_salted_join, >50 GiB live under lz4) only COMPLETES
+    *    under zstd on this disk (r15 ENOSPC adjudication).
+    *
+    * Time is a wash at sf10 and ≤8% either way at sf100; disk
+    * footprint favors zstd 2–4× wherever spill exists, and at the top
+    * scale zstd is the difference between finishing and ENOSPC — on a
+    * cluster, per-node scratch is exactly the resource a 100 TB
+    * shuffle exhausts first. Both mains record the choice in their
+    * artifact; SPARK_GRAFT_CONF overrides it in Probe. */
   def scaledCodec(sfDir: String): String =
     if (dirBytes(sfDir) >= (1L << 30)) "zstd" else "lz4"
 
