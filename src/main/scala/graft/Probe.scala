@@ -15,10 +15,17 @@ import org.apache.spark.sql.SparkSession
   * verdict's task 2. `SPARK_GRAFT_PROBE_SAMPLES` sets timed runs per
   * query (default 2; 1 for expensive one-off growth probes).
   *
-  * NOT the instrument for `snapshot_*` write-path queries: the warm
-  * pass has already grown the version chain, so the probe times a
-  * bigger table than the sweep does — their in-sweep number is the
-  * instrument (r13 finding, see IMPLEMENTATION.md).
+  * `snapshot_*` write-path queries are probe-valid on current code
+  * (r17 re-adjudication of the r13 caveat): each invocation of
+  * snapshotMerge/snapshotTimetravel builds its OWN fresh temp table
+  * (Files.createTempDirectory) and deletes it before returning, and
+  * SnapshotTable keeps no cross-invocation JVM state — so the warm
+  * pass cannot grow any version chain the timed samples see; every
+  * sample times an identical fresh-table build. The r13 probe
+  * inflation that motivated the old "in-sweep only" rule is
+  * attributable to the accreted-pinned-blocks bug fixed in the same
+  * commit (the quiesce() below); probe_r17_sf10.json confirms
+  * isolated ≈ in-sweep for both queries on current code.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -139,7 +146,24 @@ object Probe {
         "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val confJ = extraConf.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
+      // _meta provenance, same fields as Bench/check.py (r17): a probe
+      // reading is a cross-round instrument, so it names the exact tree
+      // it measured instead of leaving that to commit-adjacency
+      def git(cmd: String*): Option[String] =
+        try {
+          val pr = new ProcessBuilder(("git" +: cmd): _*)
+            .redirectErrorStream(true).start()
+          val out = new String(pr.getInputStream.readAllBytes,
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (pr.waitFor() == 0) Some(out) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val metaJ = s"""{"git_sha":${jstr(git("rev-parse", "--short", "HEAD")
+          .getOrElse("unknown"))},""" +
+        s""""tree":${jstr(git("status", "--porcelain")
+          .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown"))},""" +
+        s""""utc":${jstr(java.time.Instant.now().toString)}}"""
       val line = s"""{"metric":"probe_isolated","unit":"sec","samples_per_query":$nSamples,""" +
+        s""""_meta":$metaJ,""" +
         (if (partial) s""""partial":true,""" else "") +
         (if (extraConf.nonEmpty) s""""extra_conf":$confJ,""" else "") +
         s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +

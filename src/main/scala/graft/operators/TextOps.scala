@@ -1607,7 +1607,8 @@ object TextOps {
   /** Edit-distance-≤1 fuzzy self-join over customer names WITHOUT the
     * O(n²) cross join: explode each name into its ~(len+1) deletion
     * keys, equi-join on the key, then verify candidates with exact
-    * `levenshtein`. The shuffle carries (19-byte key, name) pairs —
+    * `levenshtein`. The shuffle carries (8-byte key hash, 4-byte pos,
+    * name) rows —
     * linear in input × key-count, never quadratic — and the candidate
     * list per key is a handful of rows, so this holds at 100 TB where
     * a cross join is impossible. Names ride the expansion ON PURPOSE —
