@@ -298,6 +298,24 @@ object Formats {
       .orderBy("user_id")
   }
 
+  /** Range-file count for the scratch snapshot commits below: one file
+    * per ~64 MB of source parquet, floored at 4 (the layout the gate
+    * and the stats-pruning demos were declared with — sf0.01..sf10
+    * keep exactly their historical 4 files), capped at 256. The FIXED
+    * 4 was a scale defect the r17 sf100 growth probe surfaced: it
+    * pushed ~525 MB of parquet through each of 4 write tasks at sf100
+    * and made every downstream touched-file rewrite ~37M rows wide —
+    * file count, like shuffle partitions, must scale with the data so
+    * a merge's cost tracks the keys it touches, not the table. */
+  private def rangeFileCount(d: String): Int = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+      else f.length()
+    val bytes = sz(new java.io.File(d, "orders.parquet"))
+    math.min(256L, math.max(4L, bytes / (64L << 20))).toInt
+  }
+
   /** MERGE (upsert) through the snapshot table, end-to-end and oracled:
     * commit orders as a range-partitioned snapshot (disjoint per-file
     * key stats), merge a deterministic update set (repriced low keys +
@@ -314,7 +332,8 @@ object Formats {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         dec2(col("o_totalprice")).as("o_totalprice"))
     SnapshotTable.commit(s, t,
-      orders.repartitionByRange(4, col("o_orderkey")), append = false)
+      orders.repartitionByRange(rangeFileCount(d), col("o_orderkey")),
+      append = false)
     val updates = orders.filter(col("o_orderkey") <= 600)
       // dec2 again: + widens decimal(18,2) to (19,2), and merge requires
       // update columns to keep the table's exact type
@@ -338,16 +357,29 @@ object Formats {
 
   /** TIME TRAVEL on the declared surface: commit orders as version 1,
     * MERGE a deterministic update set (reprice keys ≤ 300, clone the
-    * %1009 keys to new ids) as version 2, then read BOTH versions via
-    * [[SnapshotTable.readVersion]] and emit the row-level diff — the
-    * bag difference each way, which for per-snapshot-unique keys is the
-    * anti-join each way: an updated row surfaces as one 'added' (new
-    * price) plus one 'removed' (old price), an inserted key as 'added'
-    * only. The DuckDB oracle restates both versions declaratively over
-    * the original orders table; a hash match proves version-pinned
-    * reads reconstruct exactly the pre- and post-merge row sets —
-    * i.e. that old versions remain byte-faithfully readable after a
-    * copy-on-write commit rewrote their files out of HEAD. */
+    * %1009 keys to new ids) as version 2, then emit the row-level diff
+    * between the versions — the bag difference each way, which for
+    * per-snapshot-unique keys is the anti-join each way: an updated
+    * row surfaces as one 'added' (new price) plus one 'removed' (old
+    * price), an inserted key as 'added' only.
+    *
+    * The diff is MANIFEST-PRUNED (r17): with C the carried files and
+    * B'/A' the files the merge removed/added, v1 = C ⊎ B' and
+    * v2 = C ⊎ A', so v2 ∖ v1 = A' ∖ B' as bags — the carried rows
+    * cancel EXACTLY, and reading them (the r16 shape: full-version
+    * `exceptAll` both ways) is pure cost that grows with the TABLE
+    * instead of the merge: at sf100 the two table-wide diff aggregates
+    * OOM'd the default 8 GiB heap, while this form diffs only the
+    * one touched file against its rewrite (the same
+    * removedFiles/addedFiles pruning [[SnapshotTable.rowChanges]] — the
+    * classifying CDF API — is built on, cost ∝ affected data at any
+    * scale). Both sides read under v2's pinned schema, the same
+    * time-travel membrane as [[SnapshotTable.readVersion]]; the
+    * 'removed' side reads exactly the pre-merge files the
+    * copy-on-write rewrite dropped from HEAD, so the DuckDB oracle —
+    * which restates BOTH versions declaratively over the original
+    * orders table — hash-proves that superseded files remain
+    * byte-faithfully readable after COW rewrote them out of HEAD. */
   def snapshotTimetravel(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_tt")
     val t = root.resolve("t").toString
@@ -355,14 +387,26 @@ object Formats {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         dec2(col("o_totalprice")).as("o_totalprice"))
     SnapshotTable.commit(s, t,
-      orders.repartitionByRange(4, col("o_orderkey")), append = false)
+      orders.repartitionByRange(rangeFileCount(d), col("o_orderkey")),
+      append = false)
     val updates = orders.filter(col("o_orderkey") <= 300)
       .withColumn("o_totalprice", dec2(col("o_totalprice") + lit(50)))
       .unionByName(orders.filter(col("o_orderkey") % 1009 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L)))
     val v2 = SnapshotTable.merge(s, t, updates, "o_orderkey")
-    val before = SnapshotTable.readVersion(s, t, v2 - 1)
-    val after = SnapshotTable.readVersion(s, t, v2)
+    // manifest-diff read under v2's pinned schema (rowChanges' shape);
+    // empty-safe although a non-empty update set always touches ≥1 file
+    def readDiff(fs: Seq[String]): DataFrame =
+      if (fs.isEmpty)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          SnapshotTable.readVersion(s, t, v2).schema)
+      else SnapshotTable.schemaOf(t, v2) match {
+        case Some(st) => s.read.schema(st).parquet(fs: _*)
+        case None => s.read.parquet(fs: _*)
+      }
+    val before = readDiff(SnapshotTable.removedFiles(t, v2 - 1, v2))
+    val after = readDiff(SnapshotTable.addedFiles(t, v2 - 1, v2))
     val out = after.exceptAll(before).withColumn("change", lit("added"))
       .unionByName(before.exceptAll(after).withColumn("change", lit("removed")))
       .select(col("change"), col("o_orderkey"), col("o_custkey"),
