@@ -245,6 +245,41 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("rowChanges"))
   }
 
+  test("manifest-pruned version diff equals the full-version bag diff") {
+    // The r17 snapshot_timetravel fix rests on v2∖v1 = A'∖B' when
+    // v1 = C⊎B' and v2 = C⊎A' (carried files cancel exactly in the bag
+    // difference) — the full-version form OOM'd the sf100 growth probe.
+    // Pin the algebra on a table where the merge genuinely carries files.
+    val t = tmp()
+    SnapshotTable.commit(spark, t,
+      (1 to 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), append = false)
+    val v2 = SnapshotTable.merge(spark, t,
+      ((1 to 30).map(i => (i.toLong, s"V$i")) ++
+        Seq((1001L, "n1"), (1002L, "n2"))).toDF("id", "v"), "id")
+    val removed = SnapshotTable.removedFiles(t, v2 - 1, v2)
+    val added = SnapshotTable.addedFiles(t, v2 - 1, v2)
+    val carried = SnapshotTable.entries(t, v2).map(_.path)
+      .intersect(SnapshotTable.entries(t, v2 - 1).map(_.path))
+    // non-vacuous: the merge must rewrite SOME files and carry OTHERS,
+    // else the pruned and full reads are the same read
+    assert(removed.nonEmpty && added.nonEmpty && carried.nonEmpty)
+    def bag(df: org.apache.spark.sql.DataFrame): Map[(Long, String), Int] =
+      df.as[(Long, String)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val full = SnapshotTable.readVersion(spark, t, v2)
+      .exceptAll(SnapshotTable.readVersion(spark, t, v2 - 1))
+    val fullRev = SnapshotTable.readVersion(spark, t, v2 - 1)
+      .exceptAll(SnapshotTable.readVersion(spark, t, v2))
+    val before = spark.read.parquet(removed: _*)
+    val after = spark.read.parquet(added: _*)
+    assert(bag(after.exceptAll(before)) == bag(full))
+    assert(bag(before.exceptAll(after)) == bag(fullRev))
+    // and the diff is non-trivial: 30 updates (each an added+removed
+    // pair) plus 2 inserts
+    assert(bag(full).values.sum == 32 && bag(fullRev).values.sum == 30)
+  }
+
   test("rowChanges classifies merge effects; unchanged rewrites cancel") {
     val t = tmp()
     SnapshotTable.commit(spark, t,
