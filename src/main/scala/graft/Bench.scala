@@ -72,11 +72,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shufflePartitions = scaledShufflePartitions(sfDir, cpus.toInt)
     val codec = scaledCodec(sfDir)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.io.compression.codec", codec)
-      .config("spark.ui.enabled", "false")
+    // optional bounded scratch, same env var as Probe: without it Spark
+    // spills to /tmp on the system volume, where a big-SF sweep's dead
+    // shuffle files are neither attributable nor safely deletable (the
+    // r14 sf100 ENOSPC lesson). Only applied when set, so default-run
+    // artifacts stay comparable with every earlier round's.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+    localDir.foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    val spark = localDir.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", shufflePartitions)
+        .config("spark.io.compression.codec", codec)
+        .config("spark.ui.enabled", "false")) { (b, d) =>
+        b.config("spark.local.dir", d)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: the full physical plan executes (sorts, projections,
@@ -341,7 +351,8 @@ object Bench {
       s"""{"base":${prevPath.map(jstr).getOrElse("null")},""" +
         s""""rule":"cur > 1.3*prev AND cur-prev > 1.0s",""" +
         s""""rows":${regressionRows.mkString("[", ",", "]")}}"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"codec":${jstr(codec)},"heap_gib":$heapGb,"_meta":$metaJson,"regressions":$regressionsJson,"load":$loadJson,"cc_obs_misses":$missJson,"remeasured":$remeasuredJson,"samples":$samplesJson,"queries":${toJson(times)},"sf":${jstr(sfDir)}}"""
+    val localDirJson = localDir.map(d => s""""local_dir":${jstr(d)},""").getOrElse("")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"codec":${jstr(codec)},${localDirJson}"heap_gib":$heapGb,"_meta":$metaJson,"regressions":$regressionsJson,"load":$loadJson,"cc_obs_misses":$missJson,"remeasured":$remeasuredJson,"samples":$samplesJson,"queries":${toJson(times)},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"bench_$sfName.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // round-tagged self-contained copy: three rounds of driver-side
