@@ -742,7 +742,20 @@ object VectorOps {
     * k ∝ n cells never reintroduce an O(n·k) argmin (that was the r10
     * sf10 scale-killer: 18× time on 10× data). The oracle computes the
     * SAME k/kc/kf as scalar subqueries, so the replay follows at
-    * every SF. */
+    * every SF.
+    *
+    * PRICED GROWTH (r17, probe_r17c_sf100.json): this one-shot form
+    * re-fits the cell structure inside every query, so its floor is
+    * the two-level assign itself — O(n·√k) with k ∝ n, i.e. ~n^1.5:
+    * predicted 31.6× on 10× data sf10→sf100, measured 25× (314.6 s).
+    * That exponent is the DESIGN, not a defect: a 2-level IVF fit
+    * cannot beat n·√k, and deeper trees buy k^(1/3) at the cost of a
+    * third oracle-mirrored geometry level. The production shape at
+    * 100 TB is [[annIvfTrained]]-style amortization —
+    * llm_semdedup_trained fits ONCE per corpus (warm-up/ingest) and
+    * measured LINEAR, 10× on the same 10× step (12.9 s sf10
+    * probe_r15b → 128.9 s sf100 probe_r15). The pair is declared
+    * precisely to price refit-per-query against fit-once. */
   def semDedup(s: SparkSession, d: String): DataFrame =
     semDedupPairs(seededTwoLevelCells(
       Tables.embeddings(s, d), semDedupK(s, d)))
