@@ -196,10 +196,19 @@ object Bench {
     // Target 2.0 per BASELINE.md; SPARK_GRAFT_COOLDOWN_LOAD overrides
     // (0 disables); cap 360 s (1-min loadavg decays e^(-t/60): 15 → 2
     // in ~2 min idle, so 6 min only binds when load is truly ambient).
-    val cooldownTarget =
-      sys.env.get("SPARK_GRAFT_COOLDOWN_LOAD").map(_.toDouble).getOrElse(2.0)
-    val cooldownCapSec =
-      sys.env.get("SPARK_GRAFT_COOLDOWN_MAX_SEC").map(_.toInt).getOrElse(360)
+    // malformed override values fall back to the default LOUDLY instead
+    // of NumberFormatException-aborting the sweep before any measurement
+    // (r17 advisor): a gate-config typo must not cost a 30-minute sweep
+    def envNum[A](name: String, parse: String => A, default: A): A =
+      sys.env.get(name).map { v =>
+        scala.util.Try(parse(v)).getOrElse {
+          System.err.println(
+            s"[bench] $name='$v' is not a number — using default $default")
+          default
+        }
+      }.getOrElse(default)
+    val cooldownTarget = envNum("SPARK_GRAFT_COOLDOWN_LOAD", _.toDouble, 2.0)
+    val cooldownCapSec = envNum("SPARK_GRAFT_COOLDOWN_MAX_SEC", _.toInt, 360)
     val cooldownT0 = System.nanoTime()
     var cooldownMet = cooldownTarget <= 0 || loadavg() < cooldownTarget
     while (!cooldownMet &&
@@ -289,21 +298,36 @@ object Bench {
     // exact tree it measured, so a byte-identical refresh still changes
     // the file and self-certifies — "which code produced this number" is
     // a field, not a git-archaeology exercise.
+    // stderr drained SEPARATELY, never into the captured value (r17
+    // advisor): container git prints ownership/safe.directory warnings
+    // on ZERO-exit commands, and redirectErrorStream(true) concatenated
+    // them into git_sha/tree, corrupting the provenance fields
     def git(cmd: String*): Option[String] =
       try {
-        val p = new ProcessBuilder(("git" +: cmd): _*)
-          .redirectErrorStream(true).start()
+        val p = new ProcessBuilder(("git" +: cmd): _*).start()
+        val drain = new Thread(() => { p.getErrorStream.readAllBytes(); () })
+        drain.setDaemon(true); drain.start()
         val out = new String(p.getInputStream.readAllBytes,
           java.nio.charset.StandardCharsets.UTF_8).trim
         if (p.waitFor() == 0) Some(out) else None
       } catch { case scala.util.control.NonFatal(_) => None }
     val gitSha = git("rev-parse", "--short", "HEAD").getOrElse("unknown")
-    val tree = git("status", "--porcelain")
+    // --untracked-files=no (r17 advisor): "dirty" means TRACKED SOURCES
+    // MODIFIED — an artifact's own pending output sitting untracked in
+    // cwd must not read as "this number measured uncommitted code". The
+    // paths themselves ride along when dirty, so the reader sees WHAT
+    // was modified instead of guessing (r17 verdict task 4).
+    val porcelain = git("status", "--porcelain", "--untracked-files=no")
+    val tree = porcelain
       .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown")
+    val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
+      st.linesIterator.map(l => jstr(l.drop(3))).take(20).mkString(
+        ""","dirty_paths":[""", ",", "]")
+    }.getOrElse("")
     val utc = java.time.Instant.now().toString
     val roundJ = sys.env.get("SPARK_GRAFT_ROUND").map(jstr).getOrElse("null")
     val metaJson =
-      s"""{"git_sha":${jstr(gitSha)},"tree":${jstr(tree)},"utc":${jstr(utc)},"round":$roundJ}"""
+      s"""{"git_sha":${jstr(gitSha)},"tree":${jstr(tree)}$dirtyJ,"utc":${jstr(utc)},"round":$roundJ}"""
     // ---- round-over-round regression floor (r15 verdict task 3): the
     // "zero regressions" claim is computed by the instrument against the
     // previous round's committed artifact — explicit rule, checkable
@@ -322,22 +346,25 @@ object Bench {
         .filter(c => !curRound.contains(c._1))
         .sortBy(-_._1).headOption.map(_._2)
     }
-    val prevTimes: Map[String, Double] = prevPath.map { p =>
-      try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(p))
-        val q = node.get("queries")
-        if (q == null) Map.empty[String, Double]
-        else {
-          import scala.jdk.CollectionConverters._
-          q.fieldNames().asScala.map(n => n -> q.get(n).asDouble()).toMap
+    val (prevTimes, prevTotal): (Map[String, Double], Option[Double]) =
+      prevPath.map { p =>
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(p))
+          val q = node.get("queries")
+          val qs =
+            if (q == null) Map.empty[String, Double]
+            else {
+              import scala.jdk.CollectionConverters._
+              q.fieldNames().asScala.map(n => n -> q.get(n).asDouble()).toMap
+            }
+          (qs, Option(node.get("value")).map(_.asDouble()).filter(_ > 0))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] cannot read regression base $p: $e")
+            (Map.empty[String, Double], None)
         }
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] cannot read regression base $p: $e")
-          Map.empty[String, Double]
-      }
-    }.getOrElse(Map.empty)
+      }.getOrElse((Map.empty, None))
     // >1.3× AND >1 s: multiplicative floor keeps sub-second jitter out,
     // additive floor keeps a 0.2→0.3 s row from reading as a regression
     val regressionRows = times
@@ -347,9 +374,24 @@ object Bench {
             s"""{"q":${jstr(n)},"prev":$prev,"cur":$cur}"""
         }
       }.sorted
+    // suite-TOTAL drift guard (r18, verdict task 1a): the per-query rule
+    // is structurally blind to UNIFORM inflation — sf0.1 sweep totals
+    // drifted 138.0 → 161.0 s (+17%) across r16→r17 with zero per-query
+    // flags, and a global config regression (codec, heap, partition
+    // policy) would present exactly the same way. Total > 1.15× base is
+    // a NAMED flag the round must adjudicate (sentinel-basket probe or
+    // code diff) or treat as a regression — never silently absorb.
+    val totalFlagged = prevTotal.exists(pt => total > 1.15 * pt)
+    if (totalFlagged)
+      System.err.println(f"[bench] SUITE-TOTAL DRIFT: $total%.1f s > 1.15× base " +
+        f"${prevTotal.get}%.1f s — adjudicate (sentinel probes / code diff) or treat as regression")
+    val totalDriftJson =
+      s"""{"prev":${prevTotal.map(_.toString).getOrElse("null")},"cur":$total,""" +
+        s""""rule":"cur > 1.15*prev","flagged":$totalFlagged}"""
     val regressionsJson =
       s"""{"base":${prevPath.map(jstr).getOrElse("null")},""" +
         s""""rule":"cur > 1.3*prev AND cur-prev > 1.0s",""" +
+        s""""total":$totalDriftJson,""" +
         s""""rows":${regressionRows.mkString("[", ",", "]")}}"""
     val localDirJson = localDir.map(d => s""""local_dir":${jstr(d)},""").getOrElse("")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"codec":${jstr(codec)},${localDirJson}"heap_gib":$heapGb,"_meta":$metaJson,"regressions":$regressionsJson,"load":$loadJson,"cc_obs_misses":$missJson,"remeasured":$remeasuredJson,"samples":$samplesJson,"queries":${toJson(times)},"sf":${jstr(sfDir)}}"""
@@ -370,7 +412,7 @@ object Bench {
     // slowest of the rest — the headline numbers a reader compares first
     val headline = times.filter(_._1.startsWith("sql_")) ++
       times.filterNot(_._1.startsWith("sql_")).sortBy(-_._2).take(10)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"n_regressions":${regressionRows.size},"load":$loadJson,"detail":"bench_$sfName.json","queries":${toJson(headline)},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"n_regressions":${regressionRows.size},"total_drift_flagged":$totalFlagged,"load":$loadJson,"detail":"bench_$sfName.json","queries":${toJson(headline)},"sf":${jstr(sfDir)}}"""
     spark.stop()
     // last stdout line of the run — nothing may print after it. The
     // line is ALSO echoed via stderr first (sbt re-logs a forked JVM's

@@ -28,6 +28,22 @@ import org.apache.spark.sql.SparkSession
   * isolated ≈ in-sweep for both queries on current code.
   */
 object Probe {
+  /** The fixed cross-round SENTINEL basket (r17 verdict task 1b): five
+    * stable queries spanning the engine's cost families — scan+agg
+    * (sql_q1), skewed shuffle (skew_salted_join), iterative
+    * driver-coordinated (llm_kmeans), replicate-heavy CPU
+    * (agg_bootstrap), snapshot write path (snapshot_merge). Probed
+    * ISOLATED in a clean window each round at sf0.1
+    * (`runMain graft.Probe <sfDir> sentinels` expands to exactly this
+    * list), they adjudicate suite-total drift by instrument: if the
+    * sweep total inflates but the sentinels sit on their prior values,
+    * the drift is ambient; if the sentinels move with it, it is code or
+    * config. Code-pinned so the basket cannot quietly change
+    * composition between rounds. */
+  val sentinels: Seq[String] = Seq(
+    "sql_q1", "skew_salted_join", "llm_kmeans", "agg_bootstrap",
+    "snapshot_merge")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // bounded scratch for shuffle spill: the r14 sf100 probe filled the
@@ -148,19 +164,33 @@ object Probe {
         .mkString("{", ",", "}")
       // _meta provenance, same fields as Bench/check.py (r17): a probe
       // reading is a cross-round instrument, so it names the exact tree
-      // it measured instead of leaving that to commit-adjacency
+      // it measured instead of leaving that to commit-adjacency.
+      // stderr drained SEPARATELY, never into the captured value (r17
+      // advisor): container git prints ownership warnings on zero-exit
+      // commands, and merging streams corrupted git_sha/tree fields.
       def git(cmd: String*): Option[String] =
         try {
-          val pr = new ProcessBuilder(("git" +: cmd): _*)
-            .redirectErrorStream(true).start()
+          val pr = new ProcessBuilder(("git" +: cmd): _*).start()
+          val drain = new Thread(() => { pr.getErrorStream.readAllBytes(); () })
+          drain.setDaemon(true); drain.start()
           val out = new String(pr.getInputStream.readAllBytes,
             java.nio.charset.StandardCharsets.UTF_8).trim
           if (pr.waitFor() == 0) Some(out) else None
         } catch { case scala.util.control.NonFatal(_) => None }
+      // --untracked-files=no (r17 advisor + verdict task 4): all four
+      // r17 probes self-stamped "dirty" although no TRACKED source was
+      // modified — the probe's own pending artifact in cwd tripped the
+      // flag. "dirty" now means tracked sources modified, and the paths
+      // ride along so the reader sees what, not just that.
+      val porcelain = git("status", "--porcelain", "--untracked-files=no")
+      val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
+        st.linesIterator.map(l => jstr(l.drop(3))).take(20).mkString(
+          ""","dirty_paths":[""", ",", "]")
+      }.getOrElse("")
       val metaJ = s"""{"git_sha":${jstr(git("rev-parse", "--short", "HEAD")
           .getOrElse("unknown"))},""" +
-        s""""tree":${jstr(git("status", "--porcelain")
-          .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown"))},""" +
+        s""""tree":${jstr(porcelain
+          .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown"))}$dirtyJ,""" +
         s""""utc":${jstr(java.time.Instant.now().toString)}}"""
       val line = s"""{"metric":"probe_isolated","unit":"sec","samples_per_query":$nSamples,""" +
         s""""_meta":$metaJ,""" +
@@ -180,10 +210,13 @@ object Probe {
     // artifact's queries/samples objects, which JSON parsers resolve
     // inconsistently (r15 advisor) — de-duplicate order-preservingly
     // and say so, rather than time the same query twice
-    val argQueries = args.drop(1).distinct
-    if (argQueries.size < args.drop(1).size)
+    // "sentinels" expands to the code-pinned cross-round basket above
+    val expanded = args.drop(1)
+      .flatMap(a => if (a == "sentinels") sentinels else Seq(a))
+    val argQueries = expanded.distinct
+    if (argQueries.size < expanded.size)
       System.err.println("[probe] duplicate query names in args de-duplicated: " +
-        args.drop(1).diff(argQueries).mkString(", "))
+        expanded.diff(argQueries).mkString(", "))
     // "logical:<name>" prints the optimized logical plan (what
     // ProjectionLintSpec sweeps) instead of timing + physical plan
     val timed = argQueries.flatMap {

@@ -50,6 +50,7 @@ object TouchedQueries {
     "src/test/", "tools/", ".md",
     "graft/Bench.scala", "graft/Verify.scala", "graft/ScaleGen.scala",
     "graft/Probe.scala", "graft/SnapshotScaleProbe.scala",
+    "graft/SnapshotDepthProbe.scala", "graft/LayoutBuildProbe.scala",
     "graft/Plans.scala", "graft/TouchedQueries.scala")
 
   /** Pure classification: `NONE` (nothing query-bearing changed),

@@ -156,6 +156,24 @@ object VectorOps {
   def trainedLayoutDir(d: String): String =
     corpusLayoutDir(d, "graft-ivf-trained-v2")
 
+  /** Publish dir of the trained-IVF layout for any `k`, WITHOUT
+    * building — single source of truth for [[ensureTrainedLayout]]'s
+    * dir selection, and what the cold-build probe
+    * ([[graft.LayoutBuildProbe]]) deletes to time a from-scratch fit.
+    * k=8 keeps the historical unversioned name (the ANN oracles replay
+    * that k verbatim); flat (kf=1) and two-level fits are distinct
+    * model artifacts and carry distinct keys. */
+  private[graft] def trainedLayoutDirFor(d: String, k: Int): String =
+    if (k == 8) trainedLayoutDir(d)
+    else if (fineCellCount(k) == 1) corpusLayoutDir(d, s"graft-ivf-trained-v2-k$k")
+    // v4: fine seeding moved to the md5-ranked spread-aware pick —
+    // layouts built with the v3 lowest-id seeds are a different model
+    else corpusLayoutDir(d, s"graft-ivf-trained-v4-2l-k$k")
+
+  /** Publish dir of the PQ layout, without building (cold-build probe). */
+  private[graft] def pqLayoutDir(d: String): String =
+    corpusLayoutDir(d, "graft-pq-v1")
+
   /** Derived-layout cache dir for corpus `d` under `prefix`, keyed by a
     * content fingerprint (path, length, mtime) of the source table's
     * files (default the embeddings; GraphOps keys its dedup-cluster
@@ -207,12 +225,7 @@ object VectorOps {
     // fit is HIERARCHICAL (v3-2l artifact): flat Lloyd at k ∝ n made
     // the build O(n·k) per round — 18× time on 10× data at sf10
     val kf = fineCellCount(k)
-    val dir = new java.io.File(
-      if (k == 8) trainedLayoutDir(d)
-      else if (kf == 1) corpusLayoutDir(d, s"graft-ivf-trained-v2-k$k")
-      // v4: fine seeding moved to the md5-ranked spread-aware pick —
-      // layouts built with the v3 lowest-id seeds are a different model
-      else corpusLayoutDir(d, s"graft-ivf-trained-v4-2l-k$k"))
+    val dir = new java.io.File(trainedLayoutDirFor(d, k))
     if (!new java.io.File(dir, "_BUILT").exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         dir.getName + ".build-" + java.util.UUID.randomUUID())
@@ -877,7 +890,7 @@ object VectorOps {
     * pure probes). The codes table is the 64×-compressed scan artifact:
     * at 100 TB of vectors it is the ~1.6 TB that ADC actually reads. */
   def ensurePqLayout(s: SparkSession, d: String): String = {
-    val dir = new java.io.File(corpusLayoutDir(d, "graft-pq-v1"))
+    val dir = new java.io.File(pqLayoutDir(d))
     if (!new java.io.File(dir, "_BUILT").exists()) {
       val tmp = new java.io.File(dir.getParentFile,
         dir.getName + ".build-" + java.util.UUID.randomUUID())
