@@ -239,6 +239,10 @@ object TextOps {
     Tables.documents(s, d)
       .withColumn("shard",
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      // co-locate each shard before partitionBy: without the shuffle
+      // every input task writes a file into every shard dir —
+      // task-count × 16 small files instead of ~16 shard-sized ones
+      .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
 
   // ---------------------------------------------------------------- B46

@@ -96,7 +96,12 @@ object VectorOps {
     * read. This is the production form of [[annIvf]]'s in-query
     * assignment. */
   def writeIvfLayout(s: SparkSession, d: String, out: String): Unit =
-    assignCells(s, d).write.mode("overwrite").partitionBy("cell").parquet(out)
+    // co-locate each cell before partitionBy, or every shuffle task
+    // writes a sliver into every cell dir (task×cell file explosion —
+    // the r18 build probe measured 19,626 files for 65 MB on the
+    // trained variant before the same fix)
+    assignCells(s, d).repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
 
   /** Probe-side read of the materialized IVF layout: only the listed
     * cells' directories are scanned (partition pruning, no data filter). */
@@ -232,7 +237,15 @@ object VectorOps {
       if (kf == 1) {
         val (assigned, _) = kmeans(s, d, k = k, iters = 3, trackInertia = false)
         val cents = kmeansUpdate(assigned)
+        // repartition by cell BEFORE partitionBy (r18): without it every
+        // shuffle task holds rows of every cell and writes a sliver into
+        // each cell dir — task-count × cell-count files (measured 19,626
+        // files for 65 MB at sf10, probe_r18_build_sf10.json). Hashing
+        // cells to tasks first makes each cell ONE task's whole rows →
+        // file count ≈ cell count, and the probe-side pruned read opens
+        // one file per probed cell instead of dozens.
         assigned.select(col("vec_id"), col("embedding"), col("cell"))
+          .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(new java.io.File(tmp, "corpus").toString)
         cents.write.mode("overwrite")
@@ -261,9 +274,13 @@ object VectorOps {
           fineCents = fineUpdate(fineAssign(ac, fineCents)).localCheckpoint()
           prev.unpersist(blocking = false)
         }
+        // same cell-co-location as the flat path (r18): the small-files
+        // defect is quadratic here — cells AND tasks both scale with the
+        // corpus, so sf100 would write ~millions of KB-sized files
         fineAssign(ac, fineCents)
           .select(col("vec_id"), col("embedding"),
             (col("ccell") * kf + col("fcell")).cast("int").as("cell"))
+          .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(new java.io.File(tmp, "corpus").toString)
         coarseCents.write.mode("overwrite")
