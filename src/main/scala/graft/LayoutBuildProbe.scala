@@ -92,22 +92,6 @@ object LayoutBuildProbe {
     val loadBefore = loadavg()
     val diskBefore = diskFreeGb()
     val (steal0, jif0) = cpuJiffies()
-    val results = builds.map { case (name, dir, build) =>
-      rm(new java.io.File(dir))
-      quiesce()
-      val t0 = System.nanoTime()
-      val out = build()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val gb = math.round(sizeOf(new java.io.File(out)) * 1000.0 / (1L << 30)) / 1000.0
-      println(f"[build-probe] $name $sec%.2f s, $gb%.3f GiB published")
-      quiesce()
-      (name, sec, gb)
-    }
-    val loadAfter = loadavg()
-    val (steal1, jif1) = cpuJiffies()
-    val stealPct =
-      if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
-      else -1.0
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def git(cmd: String*): Option[String] =
@@ -119,6 +103,8 @@ object LayoutBuildProbe {
           java.nio.charset.StandardCharsets.UTF_8).trim
         if (pr.waitFor() == 0) Some(out) else None
       } catch { case scala.util.control.NonFatal(_) => None }
+    // _meta resolved ONCE, before the timed region — the git calls are
+    // cheap but there is no reason to pay them inside a build window
     val porcelain = git("status", "--porcelain", "--untracked-files=no")
     val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
       st.linesIterator.map(l => jstr(l.drop(3))).take(20).mkString(
@@ -129,25 +115,53 @@ object LayoutBuildProbe {
       s""""tree":${jstr(porcelain
         .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown"))}$dirtyJ,""" +
       s""""utc":${jstr(java.time.Instant.now().toString)}}"""
-    val buildsJ = results.map { case (n, s, _) =>
-      s"${jstr(n)}:${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}"
-    }.mkString("{", ",", "}")
-    val sizesJ = results.map { case (n, _, g) => s"${jstr(n)}:$g" }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"layout_build_cold","unit":"sec","_meta":$metaJ,""" +
-      s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
-      s""""codec":${jstr(spark.conf.get("spark.io.compression.codec"))},""" +
-      s""""heap_gib":${math.round(Runtime.getRuntime.maxMemory * 10.0 / (1L << 30)) / 10.0},""" +
-      s""""semdedup_k":$kSem,""" +
-      s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
-      s""""disk_free_gib":{"before":$diskBefore,"after":${diskFreeGb()},"dir":${jstr(localDir)}},""" +
-      s""""builds":$buildsJ,"published_gib":$sizesJ,"sf":${jstr(sfDir)}}"""
-    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[build-probe] artifact -> $p")
+
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // artifact written after EVERY build, partial:true until the loop
+    // completes (the Probe r14 lesson: a crash at build 4 of 5 must only
+    // lose the in-flight build, not the completed readings — this probe's
+    // first sf100 run was killed by a harness timeout with zero output)
+    def writeArtifact(partial: Boolean): Unit = {
+      val loadAfter = loadavg()
+      val (steal1, jif1) = cpuJiffies()
+      val stealPct =
+        if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
+        else -1.0
+      val buildsJ = done.map { case (n, s, _) =>
+        s"${jstr(n)}:${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}"
+      }.mkString("{", ",", "}")
+      val sizesJ = done.map { case (n, _, g) => s"${jstr(n)}:$g" }
+        .mkString("{", ",", "}")
+      val line = s"""{"metric":"layout_build_cold","unit":"sec","_meta":$metaJ,""" +
+        (if (partial) s""""partial":true,""" else "") +
+        s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+        s""""codec":${jstr(spark.conf.get("spark.io.compression.codec"))},""" +
+        s""""heap_gib":${math.round(Runtime.getRuntime.maxMemory * 10.0 / (1L << 30)) / 10.0},""" +
+        s""""semdedup_k":$kSem,""" +
+        s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
+        s""""disk_free_gib":{"before":$diskBefore,"after":${diskFreeGb()},"dir":${jstr(localDir)}},""" +
+        s""""builds":$buildsJ,"published_gib":$sizesJ,"sf":${jstr(sfDir)}}"""
+      sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      if (!partial) println(line)
     }
-    println(line)
+    builds.foreach { case (name, dir, build) =>
+      rm(new java.io.File(dir))
+      quiesce()
+      val t0 = System.nanoTime()
+      val out = build()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gb = math.round(sizeOf(new java.io.File(out)) * 1000.0 / (1L << 30)) / 1000.0
+      println(f"[build-probe] $name $sec%.2f s, $gb%.3f GiB published")
+      quiesce()
+      done += ((name, sec, gb))
+      writeArtifact(partial = true)
+    }
+    writeArtifact(partial = false)
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach(p =>
+      System.err.println(s"[build-probe] artifact -> $p"))
     spark.stop()
   }
 }
