@@ -321,7 +321,11 @@ object Bench {
     val tree = porcelain
       .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown")
     val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
-      st.linesIterator.map(l => jstr(l.drop(3))).take(20).mkString(
+      // split, not a fixed drop(3): git()'s .trim eats the FIRST line's
+      // leading status column (" M x" -> "M x"), so an offset parse
+      // truncated the first path ("ASELINE.md" in the first committed
+      // sf100 build artifact — disclosed in IMPLEMENTATION.md r18)
+      st.linesIterator.map(l => jstr(l.trim.split("\\s+", 2).last)).take(20).mkString(
         ""","dirty_paths":[""", ",", "]")
     }.getOrElse("")
     val utc = java.time.Instant.now().toString

@@ -222,7 +222,23 @@ object VectorOps {
     * then publish atomically via directory rename. Idempotent — every
     * later query is a pure probe. This is the amortization production
     * systems do: training is part of the corpus build (like ingest), not
-    * of any single query's plan. */
+    * of any single query's plan.
+    *
+    * MEASURED COLD-BUILD COST (r18, probe_r18_build_sf10/sf100.json,
+    * graft.LayoutBuildProbe deletes the published dir and times this
+    * method from scratch): fixed-k (k=8) 15.1 s sf10 → 83.7 s sf100
+    * (5.5× on 10× data — sublinear, the fit is 3 bounded Lloyd rounds
+    * plus one corpus write); corpus-scaled k ([[semDedupK]]: k=781 →
+    * 7812) 52.2 s → 936.6 s, 17.9× on 10× data — under its own
+    * O(n·√k) = n^1.5 floor prediction of 31.6× because the Lloyd
+    * rounds run on a bounded SAMPLE and only the final assign+write
+    * pays n·√k. The corpus write REPARTITIONS BY `cell` first: without
+    * co-location every shuffle task writes a sliver into every cell
+    * dir, so files = tasks × cells — with both ∝ corpus that is
+    * QUADRATIC file count (measured 19,626 files for 65 MB at sf10
+    * before the fix, ~3 KB/file; on an object store that is one PUT
+    * per file). Co-located: files ≈ cells, and the sf10 build itself
+    * dropped 230.9 → 52.2 s (−77%). */
   def ensureTrainedLayout(s: SparkSession, d: String, k: Int = 8): String = {
     // k=8 keeps the historical dir name (the ANN oracles replay that k
     // verbatim); other cell counts — semDedup's corpus-scaled k — get
@@ -785,7 +801,16 @@ object VectorOps {
     * llm_semdedup_trained fits ONCE per corpus (warm-up/ingest) and
     * measured LINEAR, 10× on the same 10× step (12.9 s sf10
     * probe_r15b → 128.9 s sf100 probe_r15). The pair is declared
-    * precisely to price refit-per-query against fit-once. */
+    * precisely to price refit-per-query against fit-once. The
+    * fit-once side's AMORTIZED BUILD is itself measured (r18,
+    * probe_r18_build_sf10/sf100.json): a cold
+    * [[ensureSemDedupLayout]] costs 52.2 s at sf10 and 936.6 s at
+    * sf100 (17.9× on 10× data — under the same n^1.5 floor because
+    * Lloyd runs on a bounded sample; see [[ensureTrainedLayout]]).
+    * Break-even at sf100: the refit form costs 314.6 s/query, the
+    * trained form 128.9 s/query, so the 936.6 s build repays its
+    * cost after 936.6 / (314.6 − 128.9) ≈ 6 queries — everything
+    * after that is the 185.7 s/query saving, pure amortization. */
   def semDedup(s: SparkSession, d: String): DataFrame =
     semDedupPairs(seededTwoLevelCells(
       Tables.embeddings(s, d), semDedupK(s, d)))
