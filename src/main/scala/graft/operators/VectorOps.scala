@@ -224,12 +224,13 @@ object VectorOps {
     * systems do: training is part of the corpus build (like ingest), not
     * of any single query's plan.
     *
-    * MEASURED COLD-BUILD COST (r18, probe_r18_build_sf10/sf100.json,
+    * MEASURED COLD-BUILD COST (r18, probe_r18_build_sf10.json and the
+    * clean-tree probe_r18b_build_sf100.json re-take;
     * graft.LayoutBuildProbe deletes the published dir and times this
-    * method from scratch): fixed-k (k=8) 15.1 s sf10 → 83.7 s sf100
-    * (5.5× on 10× data — sublinear, the fit is 3 bounded Lloyd rounds
+    * method from scratch): fixed-k (k=8) 15.1 s sf10 → 77.0 s sf100
+    * (5.1× on 10× data — sublinear, the fit is 3 bounded Lloyd rounds
     * plus one corpus write); corpus-scaled k ([[semDedupK]]: k=781 →
-    * 7812) 52.2 s → 936.6 s, 17.9× on 10× data — under its own
+    * 7812) 52.2 s → 1000.9 s, 19.2× on 10× data — under its own
     * O(n·√k) = n^1.5 floor prediction of 31.6× because the Lloyd
     * rounds run on a bounded SAMPLE and only the final assign+write
     * pays n·√k. The corpus write REPARTITIONS BY `cell` first: without
@@ -803,13 +804,13 @@ object VectorOps {
     * probe_r15b → 128.9 s sf100 probe_r15). The pair is declared
     * precisely to price refit-per-query against fit-once. The
     * fit-once side's AMORTIZED BUILD is itself measured (r18,
-    * probe_r18_build_sf10/sf100.json): a cold
-    * [[ensureSemDedupLayout]] costs 52.2 s at sf10 and 936.6 s at
-    * sf100 (17.9× on 10× data — under the same n^1.5 floor because
+    * probe_r18_build_sf10.json / probe_r18b_build_sf100.json): a cold
+    * [[ensureSemDedupLayout]] costs 52.2 s at sf10 and 1000.9 s at
+    * sf100 (19.2× on 10× data — under the same n^1.5 floor because
     * Lloyd runs on a bounded sample; see [[ensureTrainedLayout]]).
     * Break-even at sf100: the refit form costs 314.6 s/query, the
-    * trained form 128.9 s/query, so the 936.6 s build repays its
-    * cost after 936.6 / (314.6 − 128.9) ≈ 6 queries — everything
+    * trained form 128.9 s/query, so the 1000.9 s build repays its
+    * cost after 1000.9 / (314.6 − 128.9) ≈ 6 queries — everything
     * after that is the 185.7 s/query saving, pure amortization. */
   def semDedup(s: SparkSession, d: String): DataFrame =
     semDedupPairs(seededTwoLevelCells(
