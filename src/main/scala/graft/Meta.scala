@@ -1,0 +1,85 @@
+package graft
+
+/** Shared artifact-provenance helper for the measurement mains (Bench,
+  * Probe, LayoutBuildProbe, SnapshotDepthProbe, IncDedupProbe). The
+  * `_meta` block — git sha, tracked-tree dirtiness with the dirty
+  * paths, UTC stamp — was copy-pasted per main and had already drifted
+  * (r18 advisor: misindented block in Probe; the "ASELINE.md" offset
+  * parse bug had to be fixed in four places). One implementation, one
+  * fix site.
+  *
+  * Provenance rules carried over from the four originals:
+  *  - stderr drained SEPARATELY, never into the captured value:
+  *    container git prints ownership warnings on zero-exit commands,
+  *    and merging streams corrupted git_sha/tree fields (r17 advisor);
+  *  - `--untracked-files=no`: "dirty" means TRACKED sources modified —
+  *    an artifact's own pending output sitting untracked in cwd must
+  *    not read as "this number measured uncommitted code" (r17);
+  *  - porcelain paths parsed by splitting off the status column, not a
+  *    fixed drop(3): git()'s .trim eats the FIRST line's leading
+  *    status space and an offset parse truncated the first path (r18);
+  *  - rename lines ('old -> new') record the NEW path, C-quoted paths
+  *    (specials/spaces) are unquoted, and truncation past 20 entries
+  *    appends an explicit "...(+N more)" sentinel instead of silently
+  *    capping (r18 advisor).
+  */
+object Meta {
+  /** JSON string literal: every environment-sourced string is escaped
+    * on the way into an artifact (r15 advisor: a quote or backslash in
+    * a conf value or path produced an unparseable JSON file). */
+  def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Run a git command, stdout on zero exit, None otherwise. */
+  def git(cmd: String*): Option[String] =
+    try {
+      val pr = new ProcessBuilder(("git" +: cmd): _*).start()
+      val drain = new Thread(() => { pr.getErrorStream.readAllBytes(); () })
+      drain.setDaemon(true); drain.start()
+      val out = new String(pr.getInputStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (pr.waitFor() == 0) Some(out) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One `git status --porcelain` line → the path it names. */
+  private[graft] def porcelainPath(line: String): String = {
+    val rest = line.trim.split("\\s+", 2) match {
+      case Array(_, p) => p
+      case a => a.head
+    }
+    // rename lines are 'old -> new': the NEW path is the tree content
+    val p = rest.split(" -> ", 2).last
+    if (p.length >= 2 && p.startsWith("\"") && p.endsWith("\""))
+      p.substring(1, p.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+    else p
+  }
+
+  private val MaxDirtyPaths = 20
+
+  /** The `_meta` provenance object: which exact tree produced this
+    * number is a field, not a git-archaeology exercise (r15 verdict).
+    * With `includeRound` the SPARK_GRAFT_ROUND tag rides along (Bench's
+    * round-stamped artifacts). Resolve ONCE per artifact when the
+    * timing window matters — the git calls are cheap but there is no
+    * reason to pay them inside a measured region. */
+  def metaJson(includeRound: Boolean = false): String = {
+    val porcelain = git("status", "--porcelain", "--untracked-files=no")
+    val tree = porcelain
+      .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown")
+    val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
+      val paths = st.linesIterator.map(porcelainPath).toSeq
+      val shown = paths.take(MaxDirtyPaths) ++
+        (if (paths.sizeIs > MaxDirtyPaths)
+           Seq(s"...(+${paths.size - MaxDirtyPaths} more)")
+         else Nil)
+      shown.map(jstr).mkString(""","dirty_paths":[""", ",", "]")
+    }.getOrElse("")
+    val roundJ =
+      if (includeRound)
+        s""","round":${sys.env.get("SPARK_GRAFT_ROUND").map(jstr).getOrElse("null")}"""
+      else ""
+    s"""{"git_sha":${jstr(git("rev-parse", "--short", "HEAD").getOrElse("unknown"))},""" +
+      s""""tree":${jstr(tree)}$dirtyJ,""" +
+      s""""utc":${jstr(java.time.Instant.now().toString)}$roundJ}"""
+  }
+}

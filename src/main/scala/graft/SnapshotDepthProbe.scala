@@ -31,6 +31,10 @@ object SnapshotDepthProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata-scaled/sf1")
     val depth = args.lift(1).map(_.toInt).getOrElse(100)
+    // fail BEFORE the session and table build: depth<1 makes head-1 = 0
+    // and rowChanges/readVersion(…, 2) die only after the table was
+    // paid for (r18 advisor)
+    require(depth >= 1, s"depth must be >= 1, got $depth")
     val table = args.lift(2).getOrElse("target/probe/snap_depth")
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp/graft-spill")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(localDir))
@@ -119,34 +123,12 @@ object SnapshotDepthProbe {
     val (readCompSec, _) = time { drain(SnapshotTable.read(spark, table)) }
     val loadAfter = loadavg()
 
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    import Meta.jstr
     def arr(xs: Seq[Double]): String = xs.map(x =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x)))
       .mkString("[", ",", "]")
-    def git(cmd: String*): Option[String] =
-      try {
-        val pr = new ProcessBuilder(("git" +: cmd): _*).start()
-        val drainT = new Thread(() => { pr.getErrorStream.readAllBytes(); () })
-        drainT.setDaemon(true); drainT.start()
-        val out = new String(pr.getInputStream.readAllBytes,
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        if (pr.waitFor() == 0) Some(out) else None
-      } catch { case scala.util.control.NonFatal(_) => None }
-    val porcelain = git("status", "--porcelain", "--untracked-files=no")
-    val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
-      // split, not a fixed drop(3): git()'s .trim eats the FIRST line's
-      // leading status column (" M x" -> "M x"), so an offset parse
-      // truncated the first path ("ASELINE.md" in the first committed
-      // sf100 build artifact — disclosed in IMPLEMENTATION.md r18)
-      st.linesIterator.map(l => jstr(l.trim.split("\\s+", 2).last)).take(20).mkString(
-        ""","dirty_paths":[""", ",", "]")
-    }.getOrElse("")
-    val metaJ = s"""{"git_sha":${jstr(git("rev-parse", "--short", "HEAD")
-        .getOrElse("unknown"))},""" +
-      s""""tree":${jstr(porcelain
-        .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown"))}$dirtyJ,""" +
-      s""""utc":${jstr(java.time.Instant.now().toString)}}"""
+    // shared provenance helper (r18 advisor): see [[Meta.metaJson]]
+    val metaJ = Meta.metaJson()
     // decile means make the growth curve readable at a glance; the full
     // per-merge series rides along for anyone who wants the raw shape
     val decile = mergeSecs.grouped(math.max(1, depth / 10)).map(g =>

@@ -51,6 +51,7 @@ object TouchedQueries {
     "graft/Bench.scala", "graft/Verify.scala", "graft/ScaleGen.scala",
     "graft/Probe.scala", "graft/SnapshotScaleProbe.scala",
     "graft/SnapshotDepthProbe.scala", "graft/LayoutBuildProbe.scala",
+    "graft/IncDedupProbe.scala", "graft/Meta.scala",
     "graft/Plans.scala", "graft/TouchedQueries.scala")
 
   /** Pure classification: `NONE` (nothing query-bearing changed),
