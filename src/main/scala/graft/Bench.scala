@@ -292,46 +292,15 @@ object Bench {
     // comparable round-over-round. GiB scaling (1<<30), not decimal 1e9:
     // -Xmx8g must read back 8.0, not 8.6 (the r12 artifact's unit slip)
     val heapGb = math.round(Runtime.getRuntime.maxMemory * 10.0 / (1L << 30)) / 10.0
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    import Meta.jstr
     // ---- _meta provenance (r15 verdict task 4): the artifact names the
     // exact tree it measured, so a byte-identical refresh still changes
     // the file and self-certifies — "which code produced this number" is
-    // a field, not a git-archaeology exercise.
-    // stderr drained SEPARATELY, never into the captured value (r17
-    // advisor): container git prints ownership/safe.directory warnings
-    // on ZERO-exit commands, and redirectErrorStream(true) concatenated
-    // them into git_sha/tree, corrupting the provenance fields
-    def git(cmd: String*): Option[String] =
-      try {
-        val p = new ProcessBuilder(("git" +: cmd): _*).start()
-        val drain = new Thread(() => { p.getErrorStream.readAllBytes(); () })
-        drain.setDaemon(true); drain.start()
-        val out = new String(p.getInputStream.readAllBytes,
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        if (p.waitFor() == 0) Some(out) else None
-      } catch { case scala.util.control.NonFatal(_) => None }
-    val gitSha = git("rev-parse", "--short", "HEAD").getOrElse("unknown")
-    // --untracked-files=no (r17 advisor): "dirty" means TRACKED SOURCES
-    // MODIFIED — an artifact's own pending output sitting untracked in
-    // cwd must not read as "this number measured uncommitted code". The
-    // paths themselves ride along when dirty, so the reader sees WHAT
-    // was modified instead of guessing (r17 verdict task 4).
-    val porcelain = git("status", "--porcelain", "--untracked-files=no")
-    val tree = porcelain
-      .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown")
-    val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
-      // split, not a fixed drop(3): git()'s .trim eats the FIRST line's
-      // leading status column (" M x" -> "M x"), so an offset parse
-      // truncated the first path ("ASELINE.md" in the first committed
-      // sf100 build artifact — disclosed in IMPLEMENTATION.md r18)
-      st.linesIterator.map(l => jstr(l.trim.split("\\s+", 2).last)).take(20).mkString(
-        ""","dirty_paths":[""", ",", "]")
-    }.getOrElse("")
-    val utc = java.time.Instant.now().toString
-    val roundJ = sys.env.get("SPARK_GRAFT_ROUND").map(jstr).getOrElse("null")
-    val metaJson =
-      s"""{"git_sha":${jstr(gitSha)},"tree":${jstr(tree)}$dirtyJ,"utc":${jstr(utc)},"round":$roundJ}"""
+    // a field, not a git-archaeology exercise. Shared helper (r18
+    // advisor: the block was copy-pasted into four mains and drifted) —
+    // [[Meta.metaJson]] carries the stderr-drain / untracked-files /
+    // porcelain-parse rules.
+    val metaJson = Meta.metaJson(includeRound = true)
     // ---- round-over-round regression floor (r15 verdict task 3): the
     // "zero regressions" claim is computed by the instrument against the
     // previous round's committed artifact — explicit rule, checkable
@@ -369,6 +338,56 @@ object Bench {
             (Map.empty[String, Double], None)
         }
       }.getOrElse((Map.empty, None))
+    // ---- fixed-anchor drift comparison (r19, r18 verdict task 1): the
+    // prev-round 1.15× ratchet below is structurally blind to steady
+    // creep — sf0.1 sweep totals drifted 138.0 → 161.0 → 217.4 s across
+    // r16→r18 with each step at or barely over the threshold, each
+    // adjudicated as box noise, and a genuine +13%/round regression
+    // would present identically. The anchor is the OLDEST committed
+    // sweep of the same board taken in a CLEAN window (same n_queries,
+    // steal < 1%, not itself drift-flagged), so creep accumulates
+    // against a fixed point instead of being re-based every round.
+    // SPARK_GRAFT_ANCHOR_BENCH pins the anchor path explicitly.
+    def readBenchMeta(p: String): Option[(Int, Double, Boolean, Double)] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p))
+        Some((
+          Option(node.get("n_queries")).map(_.asInt()).getOrElse(-1),
+          Option(node.get("load")).flatMap(l => Option(l.get("steal_pct")))
+            .map(_.asDouble()).getOrElse(-1.0),
+          Option(node.get("regressions")).flatMap(r => Option(r.get("total")))
+            .flatMap(t => Option(t.get("flagged"))).exists(_.asBoolean()),
+          Option(node.get("value")).map(_.asDouble()).getOrElse(-1.0)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val anchorPath = sys.env.get("SPARK_GRAFT_ANCHOR_BENCH").orElse {
+      val re = ("bench_r(\\d+)_" + java.util.regex.Pattern.quote(sfName) +
+        "\\.json").r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(_.getName match {
+          case re(n) => Some((n.toInt, s"bench_r${n}_$sfName.json"))
+          case _ => None
+        })
+        .filter(c => !curRound.contains(c._1))
+        .sortBy(_._1)
+        .find { case (_, p) =>
+          readBenchMeta(p).exists { case (nq, steal, flagged, v) =>
+            nq == times.size && steal >= 0 && steal < 1.0 && !flagged && v > 0
+          }
+        }.map(_._2)
+    }
+    val anchorTotal = anchorPath.flatMap(p =>
+      readBenchMeta(p).map(_._4).filter(_ > 0))
+    val anchorFlagged = anchorTotal.exists(at => total > 1.3 * at)
+    if (anchorFlagged)
+      System.err.println(f"[bench] ANCHOR DRIFT: $total%.1f s > 1.3× fixed anchor " +
+        f"${anchorTotal.get}%.1f s (${anchorPath.get}) — cumulative creep, adjudicate or treat as regression")
+    val anchorJson = (anchorPath, anchorTotal) match {
+      case (Some(p), Some(at)) =>
+        s"""{"base":${jstr(p)},"total":$at,"cur":$total,""" +
+          s""""rule":"same n_queries, steal<1%, oldest; cur > 1.3*anchor","flagged":$anchorFlagged}"""
+      case _ => "null"
+    }
     // >1.3× AND >1 s: multiplicative floor keeps sub-second jitter out,
     // additive floor keeps a 0.2→0.3 s row from reading as a regression
     val regressionRows = times
@@ -396,6 +415,7 @@ object Bench {
       s"""{"base":${prevPath.map(jstr).getOrElse("null")},""" +
         s""""rule":"cur > 1.3*prev AND cur-prev > 1.0s",""" +
         s""""total":$totalDriftJson,""" +
+        s""""anchor":$anchorJson,""" +
         s""""rows":${regressionRows.mkString("[", ",", "]")}}"""
     val localDirJson = localDir.map(d => s""""local_dir":${jstr(d)},""").getOrElse("")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"shuffle_partitions":$shufflePartitions,"codec":${jstr(codec)},${localDirJson}"heap_gib":$heapGb,"_meta":$metaJson,"regressions":$regressionsJson,"load":$loadJson,"cc_obs_misses":$missJson,"remeasured":$remeasuredJson,"samples":$samplesJson,"queries":${toJson(times)},"sf":${jstr(sfDir)}}"""
@@ -416,7 +436,7 @@ object Bench {
     // slowest of the rest — the headline numbers a reader compares first
     val headline = times.filter(_._1.startsWith("sql_")) ++
       times.filterNot(_._1.startsWith("sql_")).sortBy(-_._2).take(10)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"n_regressions":${regressionRows.size},"total_drift_flagged":$totalFlagged,"load":$loadJson,"detail":"bench_$sfName.json","queries":${toJson(headline)},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${times.size},"sweeps":2,"n_regressions":${regressionRows.size},"total_drift_flagged":$totalFlagged,"anchor_flagged":$anchorFlagged,"load":$loadJson,"detail":"bench_$sfName.json","queries":${toJson(headline)},"sf":${jstr(sfDir)}}"""
     spark.stop()
     // last stdout line of the run — nothing may print after it. The
     // line is ALSO echoed via stderr first (sbt re-logs a forked JVM's

@@ -62,6 +62,19 @@ object LayoutBuildProbe {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
       else f.length()
+    // file count per published layout (r18 verdict task 2): the
+    // quadratic small-files defect this probe caught in r18 (a
+    // partitionBy without prior co-location wrote task×cell files —
+    // 19,626 for 65 MB at sf10; inode/PUT exhaustion on an object
+    // store) was fixed by repartition-on-cell, but the fix lived only
+    // in prose: values are layout-independent, so every correctness
+    // board stays green if it regresses. The count makes it an
+    // artifact-checked invariant — expect ≈ cell/shard count plus
+    // bookkeeping; ≫ that is the explosion coming back.
+    def fileCount(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(fileCount).sum
+      else 1
     def quiesce(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
@@ -92,35 +105,13 @@ object LayoutBuildProbe {
     val loadBefore = loadavg()
     val diskBefore = diskFreeGb()
     val (steal0, jif0) = cpuJiffies()
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def git(cmd: String*): Option[String] =
-      try {
-        val pr = new ProcessBuilder(("git" +: cmd): _*).start()
-        val drain = new Thread(() => { pr.getErrorStream.readAllBytes(); () })
-        drain.setDaemon(true); drain.start()
-        val out = new String(pr.getInputStream.readAllBytes,
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        if (pr.waitFor() == 0) Some(out) else None
-      } catch { case scala.util.control.NonFatal(_) => None }
+    import Meta.jstr
     // _meta resolved ONCE, before the timed region — the git calls are
-    // cheap but there is no reason to pay them inside a build window
-    val porcelain = git("status", "--porcelain", "--untracked-files=no")
-    val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
-      // split, not a fixed drop(3): git()'s .trim eats the FIRST line's
-      // leading status column (" M x" -> "M x"), so an offset parse
-      // truncated the first path ("ASELINE.md" in the first committed
-      // sf100 build artifact — disclosed in IMPLEMENTATION.md r18)
-      st.linesIterator.map(l => jstr(l.trim.split("\\s+", 2).last)).take(20).mkString(
-        ""","dirty_paths":[""", ",", "]")
-    }.getOrElse("")
-    val metaJ = s"""{"git_sha":${jstr(git("rev-parse", "--short", "HEAD")
-        .getOrElse("unknown"))},""" +
-      s""""tree":${jstr(porcelain
-        .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown"))}$dirtyJ,""" +
-      s""""utc":${jstr(java.time.Instant.now().toString)}}"""
+    // cheap but there is no reason to pay them inside a build window.
+    // Shared helper (r18 advisor): see [[Meta.metaJson]].
+    val metaJ = Meta.metaJson()
 
-    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Int)]
     // artifact written after EVERY build, partial:true until the loop
     // completes (the Probe r14 lesson: a crash at build 4 of 5 must only
     // lose the in-flight build, not the completed readings — this probe's
@@ -131,10 +122,12 @@ object LayoutBuildProbe {
       val stealPct =
         if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
         else -1.0
-      val buildsJ = done.map { case (n, s, _) =>
+      val buildsJ = done.map { case (n, s, _, _) =>
         s"${jstr(n)}:${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}"
       }.mkString("{", ",", "}")
-      val sizesJ = done.map { case (n, _, g) => s"${jstr(n)}:$g" }
+      val sizesJ = done.map { case (n, _, g, _) => s"${jstr(n)}:$g" }
+        .mkString("{", ",", "}")
+      val filesJ = done.map { case (n, _, _, fc) => s"${jstr(n)}:$fc" }
         .mkString("{", ",", "}")
       val line = s"""{"metric":"layout_build_cold","unit":"sec","_meta":$metaJ,""" +
         (if (partial) s""""partial":true,""" else "") +
@@ -144,7 +137,7 @@ object LayoutBuildProbe {
         s""""semdedup_k":$kSem,""" +
         s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
         s""""disk_free_gib":{"before":$diskBefore,"after":${diskFreeGb()},"dir":${jstr(localDir)}},""" +
-        s""""builds":$buildsJ,"published_gib":$sizesJ,"sf":${jstr(sfDir)}}"""
+        s""""builds":$buildsJ,"published_gib":$sizesJ,"files":$filesJ,"sf":${jstr(sfDir)}}"""
       sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { p =>
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
           line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -158,9 +151,10 @@ object LayoutBuildProbe {
       val out = build()
       val sec = (System.nanoTime() - t0) / 1e9
       val gb = math.round(sizeOf(new java.io.File(out)) * 1000.0 / (1L << 30)) / 1000.0
-      println(f"[build-probe] $name $sec%.2f s, $gb%.3f GiB published")
+      val fc = fileCount(new java.io.File(out))
+      println(f"[build-probe] $name $sec%.2f s, $gb%.3f GiB published, $fc files")
       quiesce()
-      done += ((name, sec, gb))
+      done += ((name, sec, gb, fc))
       writeArtifact(partial = true)
     }
     writeArtifact(partial = false)

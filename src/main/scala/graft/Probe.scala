@@ -97,6 +97,18 @@ object Probe {
     // ss.min throwing AFTER every warm run had executed (r14 advisor)
     require(nSamples >= 1,
       s"SPARK_GRAFT_PROBE_SAMPLES must be >= 1, got $nSamples")
+    // optional committed baseline artifact (another probe run's JSON)
+    // for the cross-round ratio block below; parsed ONCE at startup so
+    // a bad path fails before any measurement has been paid for
+    val baseline: Option[(String, Map[String, Double])] =
+      sys.env.get("SPARK_GRAFT_PROBE_BASELINE").map { p =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p))
+        val q = node.get("queries")
+        require(q != null, s"SPARK_GRAFT_PROBE_BASELINE=$p has no 'queries' field")
+        import scala.jdk.CollectionConverters._
+        (p, q.fieldNames().asScala.map(n => n -> q.get(n).asDouble()).toMap)
+      }
     def loadavg(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
@@ -155,47 +167,29 @@ object Probe {
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
           .mkString(",") + "]"
       }.mkString("{", ",", "}")
-      // every environment-sourced string is escaped on the way into the
-      // artifact (r15 advisor: a quote or backslash in a conf value,
-      // local dir, or sf path produced an unparseable JSON file)
-      def jstr(s: String): String =
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      import Meta.jstr
       val confJ = extraConf.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
       // _meta provenance, same fields as Bench/check.py (r17): a probe
       // reading is a cross-round instrument, so it names the exact tree
       // it measured instead of leaving that to commit-adjacency.
-      // stderr drained SEPARATELY, never into the captured value (r17
-      // advisor): container git prints ownership warnings on zero-exit
-      // commands, and merging streams corrupted git_sha/tree fields.
-      def git(cmd: String*): Option[String] =
-        try {
-          val pr = new ProcessBuilder(("git" +: cmd): _*).start()
-          val drain = new Thread(() => { pr.getErrorStream.readAllBytes(); () })
-          drain.setDaemon(true); drain.start()
-          val out = new String(pr.getInputStream.readAllBytes,
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          if (pr.waitFor() == 0) Some(out) else None
-        } catch { case scala.util.control.NonFatal(_) => None }
-      // --untracked-files=no (r17 advisor + verdict task 4): all four
-      // r17 probes self-stamped "dirty" although no TRACKED source was
-      // modified — the probe's own pending artifact in cwd tripped the
-      // flag. "dirty" now means tracked sources modified, and the paths
-      // ride along so the reader sees what, not just that.
-      val porcelain = git("status", "--porcelain", "--untracked-files=no")
-      val dirtyJ = porcelain.filter(_.nonEmpty).map { st =>
-        // split, not a fixed drop(3): git()'s .trim eats the FIRST line's
-      // leading status column (" M x" -> "M x"), so an offset parse
-      // truncated the first path ("ASELINE.md" in the first committed
-      // sf100 build artifact — disclosed in IMPLEMENTATION.md r18)
-      st.linesIterator.map(l => jstr(l.trim.split("\\s+", 2).last)).take(20).mkString(
-          ""","dirty_paths":[""", ",", "]")
+      // Shared helper (r18 advisor: the block had been copy-pasted into
+      // four mains and drifted) — see [[Meta.metaJson]] for the
+      // stderr-drain / untracked-files / porcelain-parse rules.
+      val metaJ = Meta.metaJson()
+      // cross-round comparison BY INSTRUMENT (r18 verdict task 1): with
+      // SPARK_GRAFT_PROBE_BASELINE=<earlier probe artifact> the current
+      // readings are ratioed against the committed baseline's `queries`
+      // map inside THIS artifact — "did the sentinels move" becomes a
+      // field a reader checks, not a python one-liner in round prose.
+      val baselineJ = baseline.map { case (path, base) =>
+        val ratios = sorted.flatMap { case (n, ss) =>
+          base.get(n).filter(_ > 0).map(b =>
+            s"${jstr(n)}:${String.format(java.util.Locale.ROOT, "%.3f",
+              Double.box(ss.min / b))}")
+        }.mkString("{", ",", "}")
+        s""""baseline":{"path":${jstr(path)},"rule":"ratio = cur_min / baseline_min","ratios":$ratios},"""
       }.getOrElse("")
-      val metaJ = s"""{"git_sha":${jstr(git("rev-parse", "--short", "HEAD")
-          .getOrElse("unknown"))},""" +
-        s""""tree":${jstr(porcelain
-          .map(st => if (st.isEmpty) "clean" else "dirty").getOrElse("unknown"))}$dirtyJ,""" +
-        s""""utc":${jstr(java.time.Instant.now().toString)}}"""
       val line = s"""{"metric":"probe_isolated","unit":"sec","samples_per_query":$nSamples,""" +
         s""""_meta":$metaJ,""" +
         (if (partial) s""""partial":true,""" else "") +
@@ -205,6 +199,7 @@ object Probe {
         s""""heap_gib":$heapGb,""" +
         s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
         s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":${jstr(localDir)}},""" +
+        baselineJ +
         s""""queries":$qj,"samples":$sj,"sf":${jstr(sfDir)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
