@@ -93,6 +93,31 @@ object IncrementalDedup {
     kept
   }
 
+  /** Maintenance: compact the band index's accreted per-batch files.
+    * The index is append-only — N batches leave N commits' worth of
+    * small files, and every batch's index join lists all of them
+    * ([[SnapshotTable.entries]] at HEAD), so per-batch cost picks up an
+    * O(batches) file-listing term on top of the O(index rows) join.
+    * Planned compaction ([[SnapshotTable.compactPlanned]], keyed on
+    * `doc_id` so file ranges stay contiguous) resets that accretion.
+    *
+    * Goes through THIS wrapper, not compactPlanned directly: the
+    * [[IndexFormat]] stamp lives in the NEWEST manifest, and a plain
+    * compaction commit would drop it — the next [[processBatch]] then
+    * fails its own format guard, i.e. maintenance would strand the
+    * index (r19, found when the growth probe priced the compaction
+    * pass). The wrapper re-checks the format first (compacting an
+    * alien-format index must fail as loudly as joining it) and carries
+    * the stamp onto the compaction commit. */
+  def compactIndex(spark: SparkSession, indexTable: String,
+      groups: Int = 8): Long = {
+    val v = SnapshotTable.currentVersion(indexTable)
+    require(v > 0, s"no committed band index at $indexTable")
+    requireFormat(indexTable, v)
+    SnapshotTable.compactPlanned(spark, indexTable, "doc_id",
+      groups = groups, extraMeta = Seq(FormatMeta))
+  }
+
   /** One-shot greedy baseline over a full corpus: drop every doc that
     * band-collides with a smaller doc_id. The semantics incremental
     * processing must reproduce batch-for-batch. */

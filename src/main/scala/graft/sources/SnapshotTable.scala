@@ -519,9 +519,16 @@ object SnapshotTable {
     * job, the embarrassingly-parallel shape the planner's Scaladoc
     * promises. Old versions keep the fragmented layout (time travel
     * intact); SnapshotSpec proves file count = group count with
-    * set-equal rows. */
+    * set-equal rows.
+    *
+    * `extraMeta` lines ride the compaction commit: a consumer-owned
+    * stamp (e.g. [[graft.operators.IncrementalDedup]]'s
+    * `#band_index_format`) lives in the NEWEST manifest, and a
+    * maintenance rewrite that dropped it would fail the consumer's own
+    * format guard on the next batch — maintenance must never strand
+    * the table it maintains (r19, found by the inc-dedup growth probe). */
   def compactPlanned(spark: SparkSession, table: String, column: String,
-      groups: Int = 8): Long = {
+      groups: Int = 8, extraMeta: Seq[String] = Seq.empty): Long = {
     val v = currentVersion(table)
     require(v > 0, s"no committed snapshot in $table")
     val all = entries(table, v)
@@ -553,7 +560,7 @@ object SnapshotTable {
     }
     finishRewrite(spark, table, dataDir, single.flatten,
       schema.getOrElse(readFiles(all).schema),
-      meta = Seq(s"#compacted=planned($column,groups=${plan.size})"))
+      meta = s"#compacted=planned($column,groups=${plan.size})" +: extraMeta)
   }
 
   /** OPTIMIZE ZORDER: rewrite the current snapshot's data files

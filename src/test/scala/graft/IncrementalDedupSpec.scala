@@ -93,4 +93,53 @@ class IncrementalDedupSpec extends SparkSpec {
         .filter($"doc_id" >= 300L && $"doc_id" < 600L))
     assert(SnapshotTable.versions(fresh) == Seq(1L, 2L))
   }
+
+  test("compaction mid-stream keeps catching dups and carries the format stamp") {
+    // the maintenance path the r19 growth probe prices: compact the
+    // accreted per-batch files BETWEEN batches, then keep ingesting.
+    // A plain compactPlanned commit would drop the #band_index_format
+    // stamp and strand the index at the next batch's format guard —
+    // compactIndex exists so maintenance preserves the contract.
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val t0 = base.orderBy("doc_id").limit(1).as[(Long, String)].collect()
+    // planted post-compaction duplicate of a PRE-compaction text: the
+    // join against the compacted files must still catch it
+    val corpus = base.unionByName(
+      Seq((2501L, t0(0)._2)).toDF("doc_id", "text")).localCheckpoint()
+    val idx = tmp()
+    val cuts = Seq(0L -> 300L, 300L -> 1500L, 1500L -> 3000L)
+    val kept12 = cuts.take(2).flatMap { case (lo, hi) =>
+      IncrementalDedup.processBatch(spark, idx,
+        corpus.filter($"doc_id" >= lo && $"doc_id" < hi))
+        .select("doc_id").as[Long].collect()
+    }
+    val vComp = IncrementalDedup.compactIndex(spark, idx, groups = 1)
+    // groups=1 packs every accreted file into exactly one
+    assert(SnapshotTable.entries(idx, vComp).size == 1)
+    // the stamp survived the maintenance commit
+    assert(SnapshotTable.manifestMeta(idx, vComp)
+      .contains(s"#band_index_format=${IncrementalDedup.IndexFormat}"),
+      "compaction dropped the format stamp")
+    val kept3 = IncrementalDedup.processBatch(spark, idx,
+      corpus.filter($"doc_id" >= 1500L && $"doc_id" < 3000L))
+      .select("doc_id").as[Long].collect()
+    val keptIncr = (kept12 ++ kept3).toSet
+    val keptFull = IncrementalDedup.dedupFull(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIncr == keptFull,
+      s"incr-only: ${keptIncr -- keptFull}; full-only: ${keptFull -- keptIncr}")
+    assert(!keptIncr.contains(2501L),
+      "cross-compaction duplicate must still drop")
+    // compacting an unstamped (alien-format) index fails as loudly as
+    // joining it would
+    val legacy2 = tmp()
+    SnapshotTable.commit(spark, legacy2,
+      graft.operators.TextOps.bandSignatures(base.filter($"doc_id" < 300L)),
+      append = true)
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.compactIndex(spark, legacy2)
+    }
+    assert(e2.getMessage.contains("band_index_format")
+      || e2.getMessage.contains("rebuild the index"), e2.getMessage)
+  }
 }
