@@ -310,19 +310,28 @@ object Formats {
   // memoized per data dir (r17 advisor): both snapshot queries call
   // this INSIDE their timed invocation, and the recursive walk of
   // orders.parquet is O(files) filesystem work inside the measurement
-  // window — the input corpus is immutable within a session, so one
-  // walk is the truth for every later call
+  // window. Keyed on a SHALLOW content fingerprint of orders.parquet
+  // (direct children's names/lengths/mtimes — one readdir), not the
+  // path alone (r18 advisor): a path-only key went stale if the corpus
+  // at that path was regenerated within one JVM (e.g. ScaleGen then a
+  // snapshot query in the same session), and the range layout silently
+  // stopped scaling with the data. Regeneration changes the
+  // fingerprint, so the stale entry is simply never hit again.
   private val rangeFileCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private def rangeFileCount(d: String): Int =
-    rangeFileCountCache.computeIfAbsent(d, dir => {
+  private def rangeFileCount(d: String): Int = {
+    val dir = new java.io.File(d, "orders.parquet")
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    val fp = d + "|" + kids.length + "|" +
+      kids.map(f => f.getName.hashCode.toLong + f.length() + f.lastModified()).sum
+    rangeFileCountCache.computeIfAbsent(fp, _ => {
       def sz(f: java.io.File): Long =
         if (f.isDirectory)
           Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
         else f.length()
-      val bytes = sz(new java.io.File(dir, "orders.parquet"))
-      Int.box(math.min(256L, math.max(4L, bytes / (64L << 20))).toInt)
+      Int.box(math.min(256L, math.max(4L, sz(dir) / (64L << 20))).toInt)
     }).intValue
+  }
 
   /** MERGE (upsert) through the snapshot table, end-to-end and oracled:
     * commit orders as a range-partitioned snapshot (disjoint per-file
