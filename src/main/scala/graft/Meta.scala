@@ -56,6 +56,50 @@ object Meta {
 
   private val MaxDirtyPaths = 20
 
+  /** Cumulative per-device `(msDoingIo, sectorsRead, sectorsWritten)`
+    * from /proc/diskstats, physical-looking devices only (sd/vd/xvd
+    * whole disks, nvme namespaces — partitions and loop/ram devices
+    * excluded; a whole-disk counter already aggregates its partitions).
+    * Empty map if the file is unreadable (containered /proc variants).
+    *
+    * Why this gauge exists (r19): steal_pct measures CPU starvation
+    * only. Two I/O-heavy sf10 rows (sql_q21's big shuffle, source_orc's
+    * ORC write) sat at a stable ~1.4× floor across eight retry attempts
+    * while CPU-bound rows in the same windows read clean — co-tenant
+    * DISK contention is invisible to the steal gauge. Busy-time plus
+    * sectors moved lets a probe sample discriminate "device saturated
+    * at low throughput" (starved) from "same throughput, more work"
+    * (regression). */
+  def diskStats(): Map[String, (Long, Long, Long)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/diskstats")).asScala
+        .map(_.trim.split("\\s+"))
+        .filter(c => c.length >= 13 &&
+          c(2).matches("sd[a-z]+|vd[a-z]+|xvd[a-z]+|nvme\\d+n\\d+"))
+        .map(c => c(2) -> ((c(12).toLong, c(5).toLong, c(9).toLong)))
+        .toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Delta between two [[diskStats]] snapshots over `wallMs`, for the
+    * device that was busiest in the window: (device, busy_pct, MB read,
+    * MB written). ("", -1, -1, -1) when no device is visible. */
+  def ioDelta(before: Map[String, (Long, Long, Long)],
+      after: Map[String, (Long, Long, Long)],
+      wallMs: Double): (String, Double, Double, Double) = {
+    val deltas = before.keySet.intersect(after.keySet).toSeq.map { k =>
+      val (m0, r0, w0) = before(k); val (m1, r1, w1) = after(k)
+      (k, m1 - m0, r1 - r0, w1 - w0)
+    }
+    if (deltas.isEmpty || wallMs <= 0) ("", -1.0, -1.0, -1.0)
+    else {
+      val (k, m, r, w) = deltas.maxBy(_._2)
+      (k, math.round(10000.0 * m / wallMs) / 100.0,
+        math.round(r * 512 / 1e4) / 100.0, math.round(w * 512 / 1e4) / 100.0)
+    }
+  }
+
   /** The `_meta` provenance object: which exact tree produced this
     * number is a field, not a git-archaeology exercise (r15 verdict).
     * With `includeRound` the SPARK_GRAFT_ROUND tag rides along (Bench's

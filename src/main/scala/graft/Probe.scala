@@ -133,24 +133,31 @@ object Probe {
       // spill in spark.local.dir between queries (r14 ENOSPC crash)
       System.gc()
     }
-    // warm (uncounted) + nSamples timed runs; returns every sample
-    def run(name: String): Seq[Double] = {
+    // warm (uncounted) + nSamples timed runs; returns every sample's
+    // (seconds, device busy_pct, MB read, MB written) — the io triple
+    // brackets EACH timed run, because a window-average gauge hides the
+    // burst that inflated one sample (the steal lesson, r18/r19)
+    def run(name: String): Seq[(Double, Double, Double, Double)] = {
       val fn = SparkEntry.queries(name)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       quiesce()
       (1 to nSamples).map { _ =>
+        val io0 = Meta.diskStats()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        val (dev, busy, rdMb, wrMb) = Meta.ioDelta(io0, Meta.diskStats(), t * 1000.0)
         quiesce()
-        println(f"[probe] $name $t%.2f s (warm)")
-        t
+        println(f"[probe] $name $t%.2f s (warm; io $dev busy $busy%.1f%% " +
+          f"rd $rdMb%.0f MB wr $wrMb%.0f MB)")
+        (t, busy, rdMb, wrMb)
       }
     }
     val loadBefore = loadavg()
     val diskBefore = diskFreeGb()
     val (steal0, jif0) = cpuJiffies()
-    val done = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    val done = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[(Double, Double, Double, Double)])]
     def writeArtifact(partial: Boolean): Unit = artifactPath.foreach { p =>
       val loadAfter = loadavg()
       val diskAfter = diskFreeGb()
@@ -159,13 +166,20 @@ object Probe {
         if (jif1 > jif0) math.round(10000.0 * (steal1 - steal0) / (jif1 - jif0)) / 100.0
         else -1.0
       val heapGb = math.round(Runtime.getRuntime.maxMemory * 10.0 / (1L << 30)) / 10.0
-      val sorted = done.sortBy(_._1)
-      val qj = sorted.map { case (n, ss) => s"\"$n\":${ss.min}" }
+      val sorted = done.map { case (n, ss) => (n, ss.map(_._1), ss) }
+        .sortBy(_._1)
+      val qj = sorted.map { case (n, ss, _) => s"\"$n\":${ss.min}" }
         .mkString("{", ",", "}")
-      val sj = sorted.map { case (n, ss) =>
+      val sj = sorted.map { case (n, ss, _) =>
         s"\"$n\":[" + ss.map(t =>
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
           .mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      // per-sample [busy_pct, MB read, MB written] of the busiest
+      // device, parallel to `samples` — the I/O-starvation discriminator
+      val ioJ = sorted.map { case (n, _, ss) =>
+        s"\"$n\":[" + ss.map { case (_, b, r, w) =>
+          s"[$b,$r,$w]" }.mkString(",") + "]"
       }.mkString("{", ",", "}")
       import Meta.jstr
       val confJ = extraConf.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -183,7 +197,7 @@ object Probe {
       // map inside THIS artifact — "did the sentinels move" becomes a
       // field a reader checks, not a python one-liner in round prose.
       val baselineJ = baseline.map { case (path, base) =>
-        val ratios = sorted.flatMap { case (n, ss) =>
+        val ratios = sorted.flatMap { case (n, ss, _) =>
           base.get(n).filter(_ > 0).map(b =>
             s"${jstr(n)}:${String.format(java.util.Locale.ROOT, "%.3f",
               Double.box(ss.min / b))}")
@@ -200,7 +214,7 @@ object Probe {
         s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
         s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":${jstr(localDir)}},""" +
         baselineJ +
-        s""""queries":$qj,"samples":$sj,"sf":${jstr(sfDir)}}"""
+        s""""queries":$qj,"samples":$sj,"io":$ioJ,"sf":${jstr(sfDir)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (!partial) { System.err.println(s"[probe] artifact -> $p"); println(line) }
