@@ -100,6 +100,46 @@ object Meta {
     }
   }
 
+  @volatile private var spinSink = 0L // defeats dead-code elimination
+
+  /** Effective CPU speed in aggregate Mops/s: `threads` threads each
+    * running `itersPerThread` xorshift64 iterations (fixed work, no
+    * allocation, no memory traffic — pure ALU). This is the third
+    * ambient gauge next to steal_pct and the disk stats (r19): a VM
+    * shows a constant nominal MHz in /proc/cpuinfo and no cpufreq
+    * sysfs, yet CPU-bound queries ran a uniform ~1.3× slower in
+    * windows whose average steal was only ~1.5% — consistent with
+    * host-level frequency/SMT degradation under co-tenant load, which
+    * no kernel counter exposes to the guest. A fixed-work spin is its
+    * own clock: Mops/s here IS the effective speed the measured query
+    * saw. Run it single-threaded (per-core speed) and at the executor
+    * thread count (whole-box, SMT contention included) bracketing a
+    * probe window, and cross-round ratios become adjudicable. */
+  def cpuSpinMops(threads: Int, itersPerThread: Long): Double = {
+    def spin(n: Long, seed: Long): Long = {
+      var x = seed | 1L; var i = 0L
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    spinSink = spin(itersPerThread / 10, 42L) // JIT warmup
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      val th = new Thread(() => { spinSink = spin(itersPerThread, i.toLong) })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    math.round(threads * itersPerThread / sec / 1e4) / 100.0
+  }
+
+  /** Standard bracket reading for artifacts: single-thread and
+    * 32-thread Mops/s as a JSON object. ~2 s of work total. */
+  def cpuSpeedJson(): String = {
+    val st = cpuSpinMops(1, 400000000L)
+    val mt = cpuSpinMops(32, 100000000L)
+    s"""{"st_mops":$st,"mt_mops":$mt}"""
+  }
+
   /** The `_meta` provenance object: which exact tree produced this
     * number is a field, not a git-archaeology exercise (r15 verdict).
     * With `includeRound` the SPARK_GRAFT_ROUND tag rides along (Bench's

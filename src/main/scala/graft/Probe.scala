@@ -156,6 +156,12 @@ object Probe {
     val loadBefore = loadavg()
     val diskBefore = diskFreeGb()
     val (steal0, jif0) = cpuJiffies()
+    // effective-CPU-speed bracket (r19): fixed-work spin before the
+    // first query and after the last — in a VM, host frequency/SMT
+    // degradation under co-tenant load shows up in NO kernel counter,
+    // only in how fast fixed work actually runs
+    val cpuBefore = Meta.cpuSpeedJson()
+    System.err.println(s"[probe] cpu speed before: $cpuBefore")
     val done = scala.collection.mutable.ArrayBuffer
       .empty[(String, Seq[(Double, Double, Double, Double)])]
     def writeArtifact(partial: Boolean): Unit = artifactPath.foreach { p =>
@@ -214,6 +220,10 @@ object Probe {
         s""""load":{"before":$loadBefore,"after":$loadAfter,"steal_pct":$stealPct},""" +
         s""""disk_free_gib":{"before":$diskBefore,"after":$diskAfter,"dir":${jstr(localDir)}},""" +
         baselineJ +
+        // "after" spin only on the final write — it costs ~2 s, and the
+        // per-query partial snapshots only need the window's entry state
+        s""""cpu":{"before":$cpuBefore${
+          if (partial) "" else s""","after":${Meta.cpuSpeedJson()}"""}},""" +
         s""""queries":$qj,"samples":$sj,"io":$ioJ,"sf":${jstr(sfDir)}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
