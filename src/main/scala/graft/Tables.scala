@@ -16,6 +16,77 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** OPT-IN scan-parallelism floor for layout-bound inputs (r19
+    * optimization; guide §2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read").
+    *
+    * Parquet's split unit is the ROW GROUP, and the driver-generated
+    * tables are ONE row group per file (verified via parquet_metadata:
+    * every sf0.1 table = 1 file × 1 row group). Spark's byte-range file
+    * splits can then never parallelize the scan: the task owning the
+    * row-group midpoint reads everything, its siblings read nothing —
+    * measured at sf0.1 as map stages running on ONE core of 32
+    * ((2+1)/3 task bars with two empty tasks; TPC-H Q1's decimal
+    * aggregate 1.93 → 1.04 s, llm_gopher 0.70 → 0.46 s when spread).
+    * The fix is the guide's own remedy for unsplittable inputs: a
+    * round-robin repartition immediately after the read.
+    *
+    * OPT-IN, not blanket: a full-board A/B (bench_r19_sf0.1_baseline
+    * vs the discarded blanket take) showed the floor pays ONLY where
+    * the map side is CPU-heavy relative to the exchange it adds —
+    * per-row digest/decimal/array-fold pipelines won 25–45% while
+    * cheap-map queries lost the exchange latency and sketch/distinct
+    * aggregates additionally paid a 32-way partial-merge
+    * (approx_percentile 0.56 → 2.02 s). So the heavy operators name
+    * the floor explicitly ([[spread]] call sites) and everything else
+    * keeps the bare scan.
+    *
+    * GATED so it is a no-op exactly where the layout already feeds the
+    * cores: fires only when the row-group ESTIMATE (Σ per-file
+    * ceil(bytes/128 MB), parquet's default block size — a lower bound
+    * on real row-group count) is below the session's default
+    * parallelism AND the table is big enough for spread compute to
+    * beat the extra exchange (≥ 256 KiB compressed). At production
+    * scale a corpus holds files ≫ cores, the estimate saturates, and
+    * spread() returns the bare scan — the exchange exists ONLY where
+    * the input cannot otherwise use the machine, so this is
+    * scale-adaptive, not a local[32] tune (the driver's lower-core
+    * bench run lowers `defaultParallelism` and the gate follows it).
+    *
+    * Results are unchanged by construction: filters and column pruning
+    * push BELOW a Repartition (the exchange carries pruned, filtered
+    * rows — PushedFilters still reach the scan), every declared
+    * aggregate is partition-order-exact (the float discipline that
+    * makes the DuckDB oracle hash-match at all), every output is
+    * canonically ordered, and round-robin repartition sorts locally
+    * before exchanging (SPARK-23207) so task retries are
+    * deterministic. Re-proven after the change: full oracle replay at
+    * sf0.01 and sf0.1.
+    */
+  def spread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val file = new java.io.File(s"$sfDir/$name.parquet")
+    val cores = spark.sparkContext.defaultParallelism
+    if (file.exists() && splitEstimate(file) < cores &&
+        totalBytes(file) >= (256L << 10))
+      df.repartition(cores)
+    else df
+  }
+
+  private def splitEstimate(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isFile && c.getName.endsWith(".parquet"))
+        .map(c => math.max(1L, (c.length() + (128L << 20) - 1) / (128L << 20)))
+        .sum
+    else math.max(1L, (f.length() + (128L << 20) - 1) / (128L << 20))
+
+  private def totalBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).map(_.length()).sum
+    else f.length()
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

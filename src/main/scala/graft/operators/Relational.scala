@@ -802,7 +802,7 @@ object Relational {
     // measure rides as exact CENTS (long) — the 2B+2 sufficient sums
     // are then pure long arithmetic, overflow-safe to ~10^14 rows,
     // and the oracle replays the identical integer sums.
-    val hashed = Tables.lineitem(s, d)
+    val hashed = Tables.spread(s, d, "lineitem")
       .select(col("l_returnflag"),
         (x * 100).cast("long").as("xc"),
         md5(concat(col("l_orderkey").cast("string"), lit("_"),
@@ -1759,8 +1759,8 @@ object Relational {
     // survives a hot key at 100 TB (where broadcast of the big side
     // is impossible and one reducer would otherwise drown)
     "skew_salted_join" -> ((s, d) => {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
-      val o = Tables.orders(s, d)
+      val li = Tables.spread(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val o = Tables.spread(s, d, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.plans.Scale.saltedJoin(li, o, "l_orderkey")
         .groupBy("o_orderpriority")

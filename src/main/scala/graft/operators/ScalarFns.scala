@@ -86,7 +86,15 @@ object ScalarFns {
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf_or_none"),
         nvl(nullif(col("l_linestatus"), lit("F")), lit("closed")).as("ls_nvl"),
         (col("l_quantity") > 25 && col("l_returnflag") === "R").as("heavy_return"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // TOTAL order (r19): (l_orderkey, l_linenumber) is NOT unique in
+      // this lineitem, so tie order used to ride on accidental scan
+      // order — the one board row that broke when scans stopped being
+      // single-task (Tables.load's parallelism floor). All output
+      // columns join the sort key, making equal-key rows identical and
+      // the order total; the result BAG is untouched and the oracle
+      // carries the same tiebreakers.
+      .orderBy("l_orderkey", "l_linenumber", "qty_band", "rf_or_none",
+        "ls_nvl", "heavy_return")
 
   // ---------------------------------------------------------------- B35
   /** Array + higher-order functions over tokenized text: transform /
@@ -355,7 +363,7 @@ object ScalarFns {
         |  COALESCE(NULLIF(l_linestatus, 'F'), 'closed') AS ls_nvl,
         |  (l_quantity > 25 AND l_returnflag = 'R') AS heavy_return
         |FROM lineitem WHERE l_orderkey < 500
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty_band, rf_or_none, ls_nvl, heavy_return""".stripMargin,
     "fn_array" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,

@@ -389,7 +389,7 @@ object TextOps {
     * (deterministic cross-engine unlike xxhash64; the xxhash64/SimHash
     * variants live in [[simhash]] and are scalatest-verified). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(s, d, "documents")
       .select(col("doc_id"),
         aggregate(
           transform(split(col("text"), ""), ch => ascii(ch).cast("long")),
@@ -656,7 +656,7 @@ object TextOps {
     * full signature → band → candidate pipeline hash-exactly; the
     * scalatest property vs exact Jaccard still holds independently. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val banded = bandSignatures(Tables.documents(s, d))
+    val banded = bandSignatures(Tables.spread(s, d, "documents"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1096,26 +1096,42 @@ object TextOps {
     * distinct chunk's FIRST occurrence (min (doc_id, chunk) — global,
     * deterministic) and reassemble survivors in order.
     *
-    * Shuffle discipline: chunk text crosses exactly ONE wide exchange —
-    * the `row_number` window partitioned by the 16-byte md5 key decides
-    * keep/drop in the same shuffle that groups duplicates, and a single
-    * doc_id aggregate then computes kept counts AND the cleaned-text
-    * md5 from the rn-annotated rows (a `first`-aggregate + join back
-    * would re-shuffle the text a second time). PlanSpec pins the
-    * 3-exchange shape. Output is per-doc kept/total chunk counts + md5
-    * of the cleaned text (both engines agree on md5, making the whole
-    * pipeline hash-checkable); docs whose every chunk lost to an
-    * earlier doc are dropped, matching the oracle's inner join. */
+    * Shuffle discipline (r19): chunks are assembled MAP-SIDE — split
+    * once per row, explode the chunk INDEX (`sequence`, one generator
+    * eval per row), and slice the token array per chunk (O(10) per
+    * chunk; `toks` is a Generate-carried attribute, never recomputed,
+    * so this dodges the lambda re-split trap the [[shingles]] Scaladoc
+    * documents). The former shape exploded every WORD as a row and
+    * reassembled chunks through a (doc_id, chunk) exchange whose
+    * collect_list+array_sort carried the whole corpus text — a full
+    * extra shuffle of the payload (guide §2.3/§2.4) measured at 10.3 s
+    * of the sf10 board. Chunk text now crosses exactly ONE wide
+    * exchange — the `row_number` window partitioned by the 16-byte md5
+    * key decides keep/drop in the same shuffle that groups duplicates,
+    * and a single doc_id aggregate then computes kept counts AND the
+    * cleaned-text md5 from the rn-annotated rows (a `first`-aggregate
+    * + join back would re-shuffle the text a second time). PlanSpec
+    * pins the 2-exchange shape. Output is per-doc kept/total chunk
+    * counts + md5 of the cleaned text (both engines agree on md5,
+    * making the whole pipeline hash-checkable); docs whose every chunk
+    * lost to an earlier doc are dropped, matching the oracle's inner
+    * join. chunk_text is byte-identical to the exploded form's
+    * (array_join of the SAME token slice in position order), so every
+    * md5 downstream — and the oracle — is value-unchanged. */
+  private[operators] def chunkify(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val keep = (Seq("doc_id") ++ carry).map(col)
+    docs
+      .select(keep :+ split(col("text"), " ").as("toks"): _*)
+      .select(keep ++ Seq(col("toks"),
+        explode(sequence(lit(0L),
+          floor((size(col("toks")) - 1) / 10))).as("chunk")): _*)
+      .select(keep ++ Seq(col("chunk"),
+        array_join(slice(col("toks"),
+          (col("chunk") * 10 + 1).cast("int"), lit(10)), " ").as("chunk_text")): _*)
+  }
+
   def dedupChunks(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "word")
-    val chunks = words
-      .withColumn("chunk", floor(col("pos") / 10))
-      .groupBy("doc_id", "chunk")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-          x => x.getField("word")), " ").as("chunk_text"))
+    val chunks = chunkify(Tables.documents(s, d), Nil)
       .withColumn("key", md5(col("chunk_text")))
     val ranked = chunks.withColumn("rn", row_number().over(
       Window.partitionBy("key").orderBy("doc_id", "chunk")))
@@ -1141,16 +1157,17 @@ object TextOps {
     * ≥ 2 distinct docs within one source; paragraph := the same
     * 10-word chunking as [[dedupChunks]].
     *
-    * Scale shape: ONE scan, three exchanges. A two-branch form
-    * (aggregate the boiler keys, broadcast-join them back) recomputes
-    * the whole explode+assembly on both branches — measured in the
-    * plan, the chunk text crossed the words→chunks exchange twice —
-    * so instead the repeat decision rides a (source, key) window over
-    * the SAME assembled chunks: text crosses words→chunks
-    * ((doc_id, chunk) keys), chunks→(source, 16-byte md5) for the
-    * vote, and →doc_id for reassembly, each once, nothing computed
-    * twice, no driver state. Docs reduced to pure boilerplate are
-    * dropped, matching the oracle's HAVING. */
+    * Scale shape: ONE scan, TWO exchanges (r19 — chunks assemble
+    * map-side via [[chunkify]], removing the former words→chunks
+    * exchange that shuffled the whole corpus text as exploded word
+    * structs). A two-branch form (aggregate the boiler keys,
+    * broadcast-join them back) recomputes the whole chunk assembly on
+    * both branches — so instead the repeat decision rides a
+    * (source, key) window over the SAME assembled chunks: text crosses
+    * chunks→(source, 16-byte md5) for the vote and →doc_id for
+    * reassembly, each once, nothing computed twice, no driver state.
+    * Docs reduced to pure boilerplate are dropped, matching the
+    * oracle's HAVING. */
   def boilerplateStrip(s: SparkSession, d: String): DataFrame =
     boilerplateOf(Tables.documents(s, d))
 
@@ -1158,15 +1175,7 @@ object TextOps {
     * split out so the spec can pin the semantics on a constructed
     * corpus (cross-source immunity, all-boilerplate doc dropped). */
   def boilerplateOf(docs: DataFrame): DataFrame = {
-    val chunks = docs
-      .select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "source", "pos", "word")
-      .withColumn("chunk", floor(col("pos") / 10))
-      .groupBy("doc_id", "source", "chunk")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-          x => x.getField("word")), " ").as("chunk_text"))
+    val chunks = chunkify(docs, Seq("source"))
       .withColumn("key", md5(col("chunk_text")))
     val marked = chunks.withColumn("n_docs",
       size(collect_set(col("doc_id")).over(Window.partitionBy("source", "key"))))
@@ -1198,7 +1207,7 @@ object TextOps {
     * Pure per-row projection (one scan, no shuffle, codegen'd
     * higher-order functions) — the 100 TB shape is "free". */
   def gopherRules(s: SparkSession, d: String): DataFrame =
-    gopherOf(Tables.documents(s, d))
+    gopherOf(Tables.spread(s, d, "documents"))
 
   /** Longest equal-run length in the SORTED token array = the top
     * word's count — an O(n log n) per-row fold, vs the
@@ -1663,7 +1672,7 @@ object TextOps {
     * verify re-becomes the O(n²) scan — prefix keys only help when
     * prefixes are discriminative. */
   def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
-    val keyed = Tables.customer(s, d)
+    val keyed = Tables.spread(s, d, "customer")
       .select(col("c_name").as("name"))
       .select(col("name"), explode(del1PosKeys(col("name"))).as("pk"))
       .select(col("name"), xxhash64(col("pk.k")).as("kh"), col("pk.pos").as("pos"))

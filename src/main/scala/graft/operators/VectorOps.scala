@@ -373,7 +373,7 @@ object VectorOps {
     * reproducible on its own terms); VectorOpsSpec asserts rank
     * agreement with brute force. */
   def simSearchPrenorm(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.spread(s, d, "embeddings")
     // materialize the norm once per row AS A STORED ATTRIBUTE — the
     // two-select split alone is undone by projection collapse, which
     // inlines the nrm alias back into the lambda (the full reduction
@@ -692,7 +692,7 @@ object VectorOps {
     * it non-increasing — VectorOpsSpec asserts it). */
   def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 5,
       trackInertia: Boolean = true): (DataFrame, Seq[Double]) = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = Tables.spread(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
@@ -814,7 +814,7 @@ object VectorOps {
     * after that is the 185.7 s/query saving, pure amortization. */
   def semDedup(s: SparkSession, d: String): DataFrame =
     semDedupPairs(seededTwoLevelCells(
-      Tables.embeddings(s, d), semDedupK(s, d)))
+      Tables.spread(s, d, "embeddings"), semDedupK(s, d)))
 
   /** The shared SemDeDup decision tail (quantize → in-cell pair scan →
     * drop set) over any (vec_id, cell, embedding) assignment — the

@@ -135,10 +135,12 @@ class PlanSpec extends SparkSpec {
         finalPlan.take(3000))
   }
 
-  test("llm_dedup_chunk: chunk text crosses exactly 3 exchanges (no keep-join)") {
-    // chunk build (doc_id,chunk) + dedup window (key) + doc rollup
-    // (doc_id) — the former first-aggregate+join-back shape paid a 4th
-    // full-text exchange; a regression back to it fails here
+  test("llm_dedup_chunk: chunk text crosses exactly 2 exchanges (no keep-join)") {
+    // dedup window (key) + doc rollup (doc_id) — chunks assemble
+    // MAP-SIDE (r19 chunkify: explode the chunk index, slice the token
+    // array); the former words→chunks aggregate paid a 3rd full-text
+    // exchange, and the first-aggregate+join-back shape before it a
+    // 4th. A regression back to either fails here
     val df = graft.operators.TextOps.queries("llm_dedup_chunk")(spark, sf)
     df.collect()
     val finalPlan = (df.queryExecution.executedPlan match {
@@ -147,8 +149,8 @@ class PlanSpec extends SparkSpec {
       case p => p
     }).toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
-    assert(exchanges <= 3,
-      s"expected ≤3 hash exchanges, got $exchanges:\n" + finalPlan.take(3000))
+    assert(exchanges <= 2,
+      s"expected ≤2 hash exchanges, got $exchanges:\n" + finalPlan.take(3000))
     // and none of them may carry the text twice: the key-partitioned
     // exchange must be the only one downstream of chunk_text's birth
     assert(!finalPlan.contains("SortMergeJoin"),
