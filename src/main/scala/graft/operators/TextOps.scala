@@ -654,10 +654,23 @@ object TextOps {
     * buckets over [[bandSignatures]] — never O(n²)). md5(seed ∥ shingle)
     * plays the permutation family, so the DuckDB oracle replays the
     * full signature → band → candidate pipeline hash-exactly; the
-    * scalatest property vs exact Jaccard still holds independently. */
+    * scalatest property vs exact Jaccard still holds independently.
+    *
+    * `hint("shuffle_hash")` on the self-join (r19): the planner's
+    * broadcast pick recomputed the ENTIRE signature pipeline (shingle
+    * explode + md5 + 32-way min aggregate — the dominant stage) on the
+    * broadcast side, because a BroadcastExchange subtree can never be
+    * reused against the probe side's shuffle. Forcing a shuffle join
+    * makes both sides IDENTICAL Exchange(band, bh) subtrees, which
+    * ReuseExchange collapses into one: the signature stage runs ONCE
+    * and the second side reads the same shuffle files (plan:
+    * 2 parquet scans → 1 + ReusedExchange,
+    * plans/r19/llm_dedup_minhash_{before,after2}.txt). shuffle_hash
+    * over merge: band buckets are tiny, no sort needed. Same rows —
+    * join strategy is execution-only. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val banded = bandSignatures(Tables.spread(s, d, "documents"))
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
