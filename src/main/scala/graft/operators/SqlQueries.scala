@@ -503,6 +503,26 @@ object SqlQueries {
     s.sql(shared(name))
   }
 
+  /** ENGINE plan for the two single-table full-scan aggregates (Q1's
+    * pricing summary, the grouping-sets cube): the SHARED text verbatim,
+    * but over a query-local lineitem view backed by [[Tables.spread]] —
+    * the r19 opt-in scan-parallelism floor for the corpus's one-row-
+    * group-per-file layout (guide §2.5 "input skew … repartition
+    * immediately after the read"). These two are the only TPC-H-family
+    * shapes whose map side is CPU-heavy ENOUGH (decimal triple products
+    * per row; Expand ×4 per row) to repay the exchange — the r19 blanket
+    * experiment measured the shared-view form losing 9.1 s across the
+    * join-heavy sql_* family, so the spread view is QUERY-LOCAL (a
+    * separate view name; `registerViews`' plain `lineitem` is untouched
+    * for every other query). Results are identical by construction
+    * (partition-order-exact decimal aggregates; total ORDER BY) and the
+    * DuckDB oracle still runs the shared text — hash-checked both SFs. */
+  private def runSharedSpreadLineitem(name: String)(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    Tables.spread(s, d, "lineitem").createOrReplaceTempView("lineitem_spread")
+    s.sql(shared(name).replace("FROM lineitem\n", "FROM lineitem_spread\n"))
+  }
+
   /** Q21 ENGINE plan — the classic aggregate rewrite. The textbook
     * EXISTS/NOT-EXISTS form (the shared oracle text above, which DuckDB
     * still runs verbatim) decorrelates in Spark to a semi- PLUS an
@@ -597,6 +617,8 @@ object SqlQueries {
   // the aggregate rewrite while its ORACLE stays the shared EXISTS text)
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     shared.keys.map(n => n -> (runShared(n) _)).toMap ++ Map(
+      "sql_q1" -> (runSharedSpreadLineitem("sql_q1") _),
+      "agg_grouping_sets" -> (runSharedSpreadLineitem("agg_grouping_sets") _),
       "sql_recursive" -> (recursiveRollup(_, _)),
       "agg_filter" -> (aggFilter(_, _)),
       "sql_q7" -> (q7(_, _)),

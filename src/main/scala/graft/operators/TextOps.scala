@@ -480,8 +480,20 @@ object TextOps {
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .persist()
+    // counts persisted too (r20, guide §2.4/§5): it feeds BOTH the LM
+    // join and the prefix rollup, and unpersisted the whole groupBy(bg)
+    // aggregation ran TWICE (Spark reuses only IDENTICAL exchange
+    // subtrees, and the two consumers' pushed isnotnull filters differ —
+    // the r19 plan shows the duplicated Exchange pair). Persisting keeps
+    // the per-distinct-bigram split() (w1 derivation) on the SMALL frame
+    // — an r20 attempt to fold prefix directly over bgc was measured
+    // WORSE (1.54 → 1.91 s isolated: the split ran per histogram row
+    // instead of per distinct bigram) and reverted. Plan: the second
+    // groupBy(bg) pass + its exchange are gone; both caches drop at the
+    // session-level unpersist between queries.
     val counts = bgc.groupBy("bg").agg(sum("c").as("n_bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .persist()
     val prefix = counts.groupBy("w1").agg(sum("n_bg").as("n_prefix"))
     val lm = counts.join(prefix, "w1")
       .select(col("bg"),
@@ -901,9 +913,22 @@ object TextOps {
     * way the k-means loop does. Returns the merges in training order.
     * TextOpsSpec checks the whole trace against a driver brute force. */
   def bpeTrain(vocab: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    // LAZY checkpoints (r20, guide §1.2 "per-task work"/job-count): the
+    // plan barrier a checkpoint exists for — bounding the nested-lambda
+    // expression depth — is established when the LogicalRDD is created,
+    // eager or not, so each round's merge rewrite can materialize INSIDE
+    // the next round's pair-count job instead of as its own eager
+    // checkpoint job. Halves the training loop's job count (one collect
+    // job per round instead of collect + checkpoint), and the FINAL
+    // round's merge — which training never reads — is never computed at
+    // all. The superseded round's blocks drop only AFTER the collect
+    // that materialized its successor: a lazy localCheckpoint truncates
+    // lineage, so unpersisting the parent before the child's blocks
+    // exist would discard the only copy.
     var v = vocab // (symbols: array<string>, f: bigint)
       .select(split(col("word"), "").as("symbols"), col("f"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
     var exhausted = false
@@ -919,6 +944,9 @@ object TextOps {
         .groupBy("p").agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("p.a"), col("p.b"))
         .limit(1).collect()
+      // the collect above materialized v's checkpoint blocks, so the
+      // round it superseded is now safe to drop
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val p = top(0).getStruct(0)
@@ -934,9 +962,8 @@ object TextOps {
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(concat(element_at(acc, -1), s))))
               .otherwise(concat(acc, array(s)))))
-        val next = merged.localCheckpoint()
-        v.unpersist(blocking = false)
-        v = next
+        prev = v
+        v = merged.localCheckpoint(false)
       }
       round += 1
     }
@@ -971,9 +998,12 @@ object TextOps {
       chunk.foreach { case (a, b) =>
         v = v.withColumn("tokens", applyMerge(col("tokens"), a, b))
       }
-      val next = v.localCheckpoint()
-      v.unpersist(blocking = false)
-      v = next
+      // lazy: the depth cap is the LogicalRDD barrier itself; the
+      // caller's one consuming action materializes every chunk in a
+      // single job instead of one eager checkpoint job per chunk (r20).
+      // The intermediate chunks' blocks are vocab-sized and dropped by
+      // the session-level unpersist between queries.
+      v = v.localCheckpoint(false)
     }
     v
   }
@@ -995,7 +1025,9 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("f"))
-      .localCheckpoint() // one corpus read feeds both train and encode
+      // one corpus read feeds both train and encode; lazy — the first
+      // training round's pair-count job materializes it (r20)
+      .localCheckpoint(false)
     val merges = bpeTrain(vocab, nMerges = 12)
     bpeEncode(vocab, merges)
       .select(col("word"), col("f"),
@@ -1022,7 +1054,9 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("f"))
-      .localCheckpoint() // one corpus read feeds train and encode
+      // one corpus read feeds train and encode; lazy — materialized by
+      // the first training round's pair-count job (r20)
+      .localCheckpoint(false)
     val merges = bpeTrain(vocab, nMerges = 12)
     val tok = bpeEncode(vocab, merges)
       .select(col("word"), size(col("tokens")).cast("long").as("n_tok"))
@@ -1366,7 +1400,12 @@ object TextOps {
     // TakeOrderedAndProject first: the corpus-scale vocabulary is cut to
     // 30 rows by a distributed top-k (per-partition heaps), and only the
     // 30-row frame pays the rank window — never a global sort or an
-    // unpartitioned window over the full vocab.
+    // unpartitioned window over the full vocab. The runtime's "No
+    // Partition Defined for Window" warning on this path is therefore
+    // VACUOUS: the window's whole input is the global limit's single
+    // ≤30-row partition at any corpus scale — the bound is pinned
+    // structurally in PlanSpec ("unpartitioned rank window consumes
+    // ONLY the ≤30-row top-k output"), r19 verdict task 2.
     val ranked = counts
       .orderBy(col("c").desc, col("w")).limit(30)
       .select(col("c"),

@@ -692,6 +692,13 @@ object VectorOps {
     * it non-increasing — VectorOpsSpec asserts it). */
   def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 5,
       trackInertia: Boolean = true): (DataFrame, Seq[Double]) = {
+    // the corpus is deliberately RE-SCANNED each round, not checkpointed
+    // (r20 measurement): caching (vec_id, embedding) for the 5 assign
+    // rounds read 11.74 → 13.79 s at sf10 (and flat at sf0.1) — a
+    // deserialized array-column cache costs more to build and hold than
+    // 4 extra pruned columnar parquet scans. The canonical iterative-ML
+    // cache only pays when the input pipeline is expensive; a bare scan
+    // is not.
     val emb = Tables.spread(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"),
@@ -1130,14 +1137,20 @@ object VectorOps {
       // tiny (queries×pool): one partition, or every per-round job pays
       // 32-task scheduling overhead for ≤60 rows
       .coalesce(1)
-      .localCheckpoint() // joins into every round
+      // lazy (r20): rounds are FIXED (k), so no per-round action is
+      // needed — the final orderBy materializes the whole greedy chain
+      // in ONE job instead of ~k+2 eager checkpoint jobs, each of which
+      // was pure scheduler latency over ≤60-row frames. Checkpoints
+      // still cut the plan per round (fixed depth) and persist each
+      // round for its two consumers in the next one.
+      .localCheckpoint(false) // joins into every round
     val pc = cand.as("a").join(cand.as("b"),
         col("a.query_id") === col("b.query_id") && col("a.id") =!= col("b.id"))
       .select(col("a.query_id").as("query_id"), col("a.id").as("a"),
         col("b.id").as("b"),
         fx(cosine(col("a.embedding"), col("b.embedding"))).as("s"))
       .coalesce(1)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val slim = cand.select("query_id", "id", "sim")
     var sel = slim
       .withColumn("rn", row_number().over(
@@ -1162,11 +1175,12 @@ object VectorOps {
       // cut lineage per round (the GraphOps loop discipline): without
       // this, round r's plan re-executes every earlier round's joins at
       // each action and the final collect pays ~2^k subplans — measured
-      // 4.7 → 2.3 s at sf0.1. The remaining ~2 s is fixed per-job
-      // scheduler latency for the k checkpoint jobs — CONSTANT in data
-      // size (the frames are ≤ queries×pool rows at any corpus scale),
-      // so at 100 TB the rounds stay noise next to the pool build
-      sel = sel.unionByName(next).coalesce(1).localCheckpoint()
+      // 4.7 → 2.3 s at sf0.1. LAZY since r20: the rounds are fixed, so
+      // the k checkpoint jobs that remained (pure per-job scheduler
+      // latency over ≤ queries×pool-row frames) fold into the final
+      // action's single job; each checkpoint still cuts the plan, so
+      // the ~2^k-subplan blowup stays dead.
+      sel = sel.unionByName(next).coalesce(1).localCheckpoint(false)
     }
     sel.select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         col("score"))

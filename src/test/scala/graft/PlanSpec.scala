@@ -485,6 +485,84 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("llm_zipf: the unpartitioned rank window consumes ONLY the ≤30-row top-k output") {
+    // the size-bound adjudication for the one `Window.orderBy` (no
+    // partitionBy) in this path (r19 verdict task 2): "moving all data
+    // to a single partition" here moves the TakeOrderedAndProject
+    // output — a GLOBAL limit of 30 rows at ANY corpus scale, already
+    // a single partition, so the warning is vacuous. This pins the
+    // bound structurally: the window's input subtree must BE the
+    // global top-k, with its limit ≤ 30. A regression that ranks the
+    // full vocabulary (limit lost below the window) fails here.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val exec = physical(TextOps.zipfFit(spark, sf))
+    val unpart = exec.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.size == 1, exec.toString.take(3000))
+    val topk = unpart.head.child.collectFirst {
+      case t: TakeOrderedAndProjectExec => t
+    }
+    assert(topk.isDefined,
+      "rank window no longer consumes the top-k frame:\n" +
+        unpart.head.toString.take(3000))
+    assert(topk.get.limit <= 30, s"top-k limit grew: ${topk.get.limit}")
+  }
+
+  test("profile_ks: the unpartitioned cumulative window runs over the VALUE GRID, not the corpus") {
+    // the size-bound adjudication for the running-total window in
+    // [[Relational.profileKs]] (r19 verdict task 2): the window input
+    // must be the distinct-doc-length grid — an aggregation output
+    // bounded by the VALUE DOMAIN (|distinct n_chars| ≤ max doc length,
+    // independent of corpus row count) — never raw corpus rows. Pinned
+    // structurally: an aggregate sits between the unpartitioned window
+    // and any scan. The per-source window stays partitioned.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val exec = physical(Relational.profileKs(spark, sf))
+    val unpart = exec.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.size == 1, exec.toString.take(3000))
+    val aggBelow = unpart.head.child.collectFirst {
+      case a: BaseAggregateExec => a
+    }
+    assert(aggBelow.isDefined,
+      "cumulative window lost its histogram aggregate — it would sort " +
+        "corpus rows on one partition:\n" + unpart.head.toString.take(3000))
+  }
+
+  test("llm_dedup_minhash: the band self-join reuses ONE shuffle of the signature pipeline") {
+    // the r19 shuffle_hash hint exists to make both join inputs
+    // IDENTICAL Exchange(band, bh) subtrees so the signature stage
+    // (shingle explode + md5 + 32-way min aggregate — the dominant
+    // cost) runs ONCE and the probe side reads the same shuffle files.
+    // The static plan cannot show this (two full subtrees print until
+    // stages materialize); the claim is pinned HERE on the executed
+    // plan, where AQE's stage cache must have wrapped the second side
+    // in a ReusedExchange/reused query stage. If this fails, the hint
+    // DOUBLED the signature cost and must be re-measured (r19 verdict
+    // task 4).
+    val df = TextOps.queries("llm_dedup_minhash")(spark, sf)
+    df.collect()
+    val finalPlan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(finalPlan.contains("ReusedExchange"),
+      "no reused exchange in the executed band join — the signature " +
+        "pipeline ran twice:\n" + finalPlan.take(3000))
+    // and the signature aggregate itself must appear on ONE side only:
+    // exactly one partial min-aggregate subtree (one PLAN LINE carrying
+    // the 32 partial_min columns) feeds the join
+    val sigAggs = finalPlan.linesIterator.count(_.contains("partial_min"))
+    assert(sigAggs <= 1,
+      s"signature aggregate appears on $sigAggs plan lines in the executed plan:\n" +
+        finalPlan.take(3000))
+  }
+
   test("every declared oracle key has a matching query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
