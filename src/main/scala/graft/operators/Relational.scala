@@ -280,7 +280,7 @@ object Relational {
   /** Hash aggregation, TPC-H Q1 shape: partial (map-side) + final agg via
     * HashAggregateExec; exact decimal arithmetic throughout. */
   def aggBasic(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.spread(s, d, "lineitem")
       .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -731,7 +731,7 @@ object Relational {
   def aggLinreg(s: SparkSession, d: String): DataFrame = {
     val x = dec2(col("l_quantity"))
     val y = dec2(col("l_extendedprice"))
-    val m = Tables.lineitem(s, d)
+    val m = Tables.spread(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -1267,7 +1267,7 @@ object Relational {
     def side(v: Int, c: Column) = when(col("l_linenumber") % 2 === v, c)
     // ONE conditional-aggregate pass — a per-side filter+join form
     // would scan lineitem twice
-    val m = Tables.lineitem(s, d)
+    val m = Tables.spread(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         count(side(0, lit(1))).as("n0"), sum(side(0, x)).as("sx0"),
@@ -1290,7 +1290,7 @@ object Relational {
   def aggStats(s: SparkSession, d: String): DataFrame = {
     val x = dec2(col("l_quantity"))
     val y = dec2(col("l_extendedprice"))
-    val m = Tables.lineitem(s, d)
+    val m = Tables.spread(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),

@@ -707,6 +707,12 @@ object VectorOps {
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
       val prev = assigned
+      // PER-ROUND EAGER CHECKPOINT, measured twice this round (r20): a
+      // checkpoint-FREE lazy chain (betting on the update shuffles as
+      // materialization barriers) read 2.4 → 4.1 s isolated at sf0.1 —
+      // the nested centroid-broadcast builds re-derive the assign map
+      // work per consumer and spill — and the emb-cache variant lost at
+      // sf10 (see above). This shape is the measured optimum of three.
       assigned = kmeansAssign(emb, cents).localCheckpoint()
       // the new assignment is materialized (eager checkpoint), so the
       // previous round's blocks — which it no longer depends on — can go
