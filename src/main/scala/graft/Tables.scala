@@ -72,6 +72,13 @@ object Tables {
     * scale-adaptive, not a local[32] tune (the driver's lower-core
     * bench run lowers `defaultParallelism` and the gate follows it).
     *
+    * The layout probe is java.io-based and therefore LOCAL-FILESYSTEM-
+    * ONLY by design (r19 advisor): for an `hdfs://`/`s3a://` sfDir the
+    * exists() check is false and spread() falls back to the bare scan —
+    * a safe no-op, which is also the correct production behavior (a
+    * remote lake table's layout is the writer's job; this floor exists
+    * for the driver-generated local corpus's one-row-group files).
+    *
     * Results are unchanged by construction: filters and column pruning
     * push BELOW a Repartition (the exchange carries pruned, filtered
     * rows — PushedFilters still reach the scan), every declared
